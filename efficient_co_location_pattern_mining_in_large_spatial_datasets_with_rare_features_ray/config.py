@@ -1,0 +1,73 @@
+"""Mining configuration.
+
+Mirrors the reference AppConfig (include/config.h:20-46) plus the knobs a
+distributed engine needs (tile size, bucket counts, parallelism hints).
+The reference's ``min_cond_prob`` is parsed but unused there
+(src/config.cpp:42); we keep it for config-file parity only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+EPSILON_SMALL = 1e-9  # reference include/constants.h EPSILON_SMALL
+EPSILON_DELTA = 1e-9  # reference include/constants.h EPSILON_DELTA
+
+
+@dataclass
+class MiningConfig:
+    # Algorithm thresholds (reference include/config.h:39-45 defaults)
+    neighbor_distance: float = 5.0
+    min_prevalence: float = 0.6
+    min_cond_prob: float = 0.5  # parsed-but-unused in the reference; kept for parity
+
+    # Grid / shuffle knobs (ours)
+    tile_cells: int = 32        # cells per tile side; halo overhead ~ 2/tile_cells
+    star_buckets: int = 128     # hash buckets for the star-build shuffle
+    mining_concurrency: int | None = None  # cap on concurrent subtree groups
+
+    # Interest measure: "wpi" (rare-feature weighted, reference default) or "pi"
+    measure: str = "wpi"
+
+    # Lemma 3 (reference src/miner.cpp:185-205) is only valid when the whole
+    # level loop runs in one partition (paper Alg. 3 disables it per-subtree).
+    use_lemma3: bool = False
+
+    # Optional fixed grid origin; None -> global (min x, min y) scan like the
+    # reference (src/spatial_index.cpp:52-61).
+    grid_origin: tuple[float, float] | None = None
+
+    # Checkpointing
+    checkpoint_dir: str | None = None
+
+    extra: dict = field(default_factory=dict)
+
+    def cell_size(self) -> float:
+        return float(self.neighbor_distance)
+
+
+def load_config_file(path: str) -> MiningConfig:
+    """Parse the reference's ``key=value`` config format
+    (src/config.cpp:20-49): ``#`` comments, unknown keys ignored,
+    missing file -> defaults."""
+    cfg = MiningConfig()
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return cfg
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        key, val = key.strip(), val.strip()
+        if key == "neighbor_distance":
+            cfg.neighbor_distance = float(val)
+        elif key == "min_prevalence":
+            cfg.min_prevalence = float(val)
+        elif key == "min_cond_prob":
+            cfg.min_cond_prob = float(val)
+        elif key in ("dataset_path", "output_path", "debug_mode"):
+            cfg.extra[key] = val
+    return cfg

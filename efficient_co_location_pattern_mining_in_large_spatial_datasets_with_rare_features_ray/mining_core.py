@@ -1,0 +1,232 @@
+"""Partition-local Algorithm-1 level loop (the joinless WPI miner).
+
+One shared implementation of the reference's mining loop
+(src/miner.cpp:24-98: generateCandidates -> filterCandidates ->
+genTableInstance -> selectPrevColocations) over an in-memory star index,
+used in two modes:
+
+* **serial / oracle mode** (``roots=None``): identical semantics to the
+  single-threaded reference, Lemma 3 optional (src/miner.cpp:185-205).
+* **subtree mode** (``roots=[f]``): the paper's Algorithm 3 -- mine only
+  patterns whose canonically-first (rarest) feature is ``f``; Lemma 3 is
+  invalid per-subtree and must be off (paper sec. 5.2).
+
+Instances are local int32 indices; the star index maps
+``(center_idx, neighbor_feature) -> sorted unique np.int32 array``
+(replaces the reference's O(levels) NR-tree walk, src/miner.cpp:219-260,
+with an O(1) dict lookup). Row-instance tables are ``pattern ->
+(n_rows, k) int32 ndarray``; all outputs (pattern sets, PR/PI/WPI,
+row counts) are order-insensitive, so no insertion-order state from the
+reference needs reproducing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+
+from .canonical import FeatureContext, select_metrics
+
+_EMPTY = np.empty(0, dtype=np.int32)
+
+
+def gen_candidates(
+    prev_patterns: list[tuple[str, ...]], ctx: FeatureContext
+) -> list[tuple[str, ...]]:
+    """apriori-gen join (src/miner.cpp:102-149): join two (k-1)-patterns
+    sharing their first k-2 features; the two distinct last features are
+    appended in canonical order (count asc -- with the lex tiebreak this
+    equals the reference's emission order, see SURVEY.md P2). Dedup+sort."""
+    by_prefix: dict[tuple[str, ...], list[str]] = {}
+    for p in prev_patterns:
+        by_prefix.setdefault(p[:-1], []).append(p[-1])
+    out = set()
+    for prefix, lasts in by_prefix.items():
+        if len(lasts) < 2:
+            continue
+        lasts_sorted = ctx.sort_pattern(lasts)
+        for i in range(len(lasts_sorted)):
+            for j in range(i + 1, len(lasts_sorted)):
+                out.add(prefix + (lasts_sorted[i], lasts_sorted[j]))
+    return sorted(out)
+
+
+def filter_candidates(
+    candidates: list[tuple[str, ...]],
+    prev_prevalent: list[tuple[str, ...]],
+    prev_tables: dict[tuple[str, ...], np.ndarray],
+    min_prev: float,
+    ctx: FeatureContext,
+    use_lemma3: bool,
+) -> list[tuple[str, ...]]:
+    """Lemma-2 / Lemma-3 prune (src/miner.cpp:152-215). Called only for
+    k >= 3 (the k==2 skip lives in the level loop, src/miner.cpp:69-71).
+
+    Lemma 2: every (k-1)-subset that keeps f_min (= removal index != 0)
+    must be in P_{k-1}.
+    Lemma 3 (serial only): for the subset dropping f_min, prune when
+    ``PI(subset over T_{k-1}) * (1/RI(f_max, C)) < min_prev``; mirrors the
+    reference's IEEE quirks (RI==0 -> w=inf; PI 0 * inf = NaN -> no prune).
+    """
+    if not candidates or not prev_prevalent:
+        return []
+    prev_set = set(prev_prevalent)
+    kept = []
+    for cand in candidates:
+        valid = True
+        for drop in range(len(cand)):
+            subset = cand[:drop] + cand[drop + 1 :]
+            if drop != 0:
+                if subset not in prev_set:
+                    valid = False
+                    break
+            elif use_lemma3:
+                ri = ctx.rare_intensity(cand[-1], cand)
+                w = (1.0 / ri) if ri != 0.0 else math.inf
+                pi_subset = _pi_of(subset, prev_tables, ctx)
+                bound = pi_subset * w  # may be NaN (0*inf); NaN < x is False
+                if bound < min_prev:
+                    valid = False
+                    break
+        if valid:
+            kept.append(cand)
+    return kept
+
+
+def _pi_of(
+    pattern: tuple[str, ...],
+    tables: dict[tuple[str, ...], np.ndarray],
+    ctx: FeatureContext,
+) -> float:
+    """calculatePI semantics (src/utils.cpp:249-274): min over slots of
+    distinct/total; a pattern absent from the table map yields 0."""
+    rows = tables.get(pattern)
+    dist = (
+        [int(np.unique(rows[:, i]).size) for i in range(rows.shape[1])]
+        if rows is not None and rows.size
+        else [0] * len(pattern)
+    )
+    return select_metrics(pattern, dist, ctx)["pi"]
+
+
+def expand_tables(
+    candidates: list[tuple[str, ...]],
+    prev_tables: dict[tuple[str, ...], np.ndarray],
+    index: dict[tuple[int, str], np.ndarray],
+) -> dict[tuple[str, ...], np.ndarray]:
+    """genTableInstance (src/miner.cpp:312-379): for candidate prefix+f,
+    extend every prefix row I by S(I, f) = intersection of Neigh(o_i, f)
+    (findExtendedSet, src/miner.cpp:264-310). Candidates with zero rows
+    get NO entry (drives the PI=0-when-absent behavior)."""
+    out: dict[tuple[str, ...], np.ndarray] = {}
+    for cand in candidates:
+        prefix, f_new = cand[:-1], cand[-1]
+        prev_rows = prev_tables.get(prefix)
+        if prev_rows is None or prev_rows.size == 0:
+            continue
+        chunks: list[np.ndarray] = []
+        if prev_rows.shape[1] == 1:
+            # k=2 fast path: rows are (center, each ordered neighbor of f_new)
+            for c in prev_rows[:, 0]:
+                nb = index.get((int(c), f_new))
+                if nb is not None and nb.size:
+                    chunks.append(
+                        np.column_stack(
+                            [np.full(nb.size, c, dtype=np.int32), nb]
+                        )
+                    )
+        else:
+            for row in prev_rows:
+                s = index.get((int(row[0]), f_new), _EMPTY)
+                for o in row[1:]:
+                    if s.size == 0:
+                        break
+                    t = index.get((int(o), f_new), _EMPTY)
+                    s = (
+                        np.intersect1d(s, t, assume_unique=True)
+                        if t.size
+                        else _EMPTY
+                    )
+                if s.size:
+                    chunks.append(
+                        np.column_stack(
+                            [np.broadcast_to(row, (s.size, row.size)), s]
+                        )
+                    )
+        if chunks:
+            out[cand] = np.vstack(chunks).astype(np.int32, copy=False)
+    return out
+
+
+def mine_local(
+    index: dict[tuple[int, str], np.ndarray],
+    t1: dict[str, np.ndarray],
+    ctx: FeatureContext,
+    min_prev: float,
+    roots: Iterable[str] | None = None,
+    use_lemma3: bool = False,
+    measure: str = "wpi",
+) -> list[dict]:
+    """Run the full level loop; returns one record per prevalent pattern:
+    ``{pattern, k, wpi, pi, prs, n_rows}``.
+
+    ``roots=None`` reproduces the serial reference exactly (P1 = all
+    features canonically sorted, k=2 candidates = all pairs).
+    ``roots=[f]`` mines the ordered NR-subtree of ``f`` only (k=2
+    candidates = {(f, g): rank(g) > rank(f)}).
+    """
+    all_feats = ctx.order
+    root_set = set(all_feats if roots is None else roots)
+
+    prev_tables: dict[tuple[str, ...], np.ndarray] = {
+        (f,): idxs.reshape(-1, 1).astype(np.int32) for f, idxs in t1.items()
+    }
+    # k=2 candidates: canonical pairs rooted in root_set (src/miner.cpp
+    # generates all pairs from P1; partitioned by root this is the same set)
+    candidates = [
+        (a, b)
+        for ai, a in enumerate(all_feats)
+        if a in root_set
+        for b in all_feats[ai + 1 :]
+    ]
+    prev_prevalent: list[tuple[str, ...]] = []
+    results: list[dict] = []
+    k = 2
+    while candidates:
+        if k > 2:
+            candidates = filter_candidates(
+                candidates, prev_prevalent, prev_tables, min_prev, ctx, use_lemma3
+            )
+            if not candidates:
+                break
+        tables = expand_tables(candidates, prev_tables, index)
+        prev_prevalent = []
+        for cand in candidates:
+            rows = tables.get(cand)
+            dist = (
+                [int(np.unique(rows[:, i]).size) for i in range(len(cand))]
+                if rows is not None
+                else [0] * len(cand)
+            )
+            m = select_metrics(cand, dist, ctx)
+            score = m["wpi"] if measure == "wpi" else m["pi"]
+            if score >= min_prev:
+                prev_prevalent.append(cand)
+                results.append(
+                    {
+                        "pattern": cand,
+                        "k": k,
+                        "wpi": m["wpi"],
+                        "pi": m["pi"],
+                        "prs": m["prs"],
+                        "n_rows": int(rows.shape[0]) if rows is not None else 0,
+                    }
+                )
+        if not prev_prevalent:
+            break
+        prev_tables = tables
+        candidates = gen_candidates(prev_prevalent, ctx)
+        k += 1
+    return results
