@@ -1,0 +1,116 @@
+"""Grid-partitioned spatial distance self-join (neighbor pairs).
+
+The engine's first shuffle: groupby(tile) -> vectorized half-
+neighborhood pair kernel per tile. Semantics match the reference's
+findNeighborPair (src/spatial_index.cpp:43-114): unordered cross-type
+pairs with euclidean distance <= d (inclusive, :83,:102), each pair
+emitted exactly once (half-neighborhood offsets (0,1),(1,-1),(1,0),(1,1)
+plus i<j within a cell).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import MiningConfig
+from .grid import assign_cells, global_origin, replicate_to_tiles
+
+_HALF_OFFSETS = ((0, 1), (1, -1), (1, 0), (1, 1))
+
+PAIR_SCHEMA = pa.schema(
+    [
+        ("a_id", pa.string()),
+        ("a_feature", pa.string()),
+        ("b_id", pa.string()),
+        ("b_feature", pa.string()),
+    ]
+)
+
+
+def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
+    """All qualifying pairs within one tile group (home points + halo).
+    Loops over home cells (small, side=d) with numpy distance math inside;
+    pair order within the output is canonicalized a_id < b_id so the pair
+    table is deterministic under any partitioning."""
+    ids = df["instance_id"].to_numpy()
+    feats = df["feature"].to_numpy()
+    xs = df["x"].to_numpy(dtype=np.float64)
+    ys = df["y"].to_numpy(dtype=np.float64)
+    cx = df["cell_x"].to_numpy(dtype=np.int64)
+    cy = df["cell_y"].to_numpy(dtype=np.int64)
+    home = df["home"].to_numpy(dtype=bool)
+    d2 = float(d) * float(d)
+
+    # bucket rows by cell
+    order = np.lexsort((cy, cx))
+    cells: dict[tuple[int, int], np.ndarray] = {}
+    key = np.stack([cx[order], cy[order]], axis=1)
+    if len(order):
+        change = np.nonzero(np.any(np.diff(key, axis=0) != 0, axis=1))[0] + 1
+        for grp in np.split(order, change):
+            cells[(int(cx[grp[0]]), int(cy[grp[0]]))] = grp
+
+    ai: list[np.ndarray] = []
+    bi: list[np.ndarray] = []
+
+    def emit(ii: np.ndarray, jj: np.ndarray):
+        dx = xs[ii] - xs[jj]
+        dy = ys[ii] - ys[jj]
+        ok = (dx * dx + dy * dy <= d2) & (feats[ii] != feats[jj])
+        if ok.any():
+            ai.append(ii[ok])
+            bi.append(jj[ok])
+
+    for (ccx, ccy), grp in cells.items():
+        hgrp = grp[home[grp]]
+        if hgrp.size == 0:
+            continue  # pure-halo cell: its pairs belong to another tile
+        # within-cell pairs i<j (home cell contains only home points)
+        if hgrp.size > 1:
+            iu, ju = np.triu_indices(hgrp.size, k=1)
+            emit(hgrp[iu], hgrp[ju])
+        # half-neighborhood cross-cell pairs
+        for ox, oy in _HALF_OFFSETS:
+            other = cells.get((ccx + ox, ccy + oy))
+            if other is None:
+                continue
+            ii = np.repeat(hgrp, other.size)
+            jj = np.tile(other, hgrp.size)
+            emit(ii, jj)
+
+    if not ai:
+        return PAIR_SCHEMA.empty_table()
+    a = np.concatenate(ai)
+    b = np.concatenate(bi)
+    swap = ids[a] > ids[b]
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return pa.table(
+        {
+            "a_id": pa.array(ids[a2], type=pa.string()),
+            "a_feature": pa.array(feats[a2], type=pa.string()),
+            "b_id": pa.array(ids[b2], type=pa.string()),
+            "b_feature": pa.array(feats[b2], type=pa.string()),
+        }
+    )
+
+
+def neighbor_pairs(
+    instances: Dataset,
+    cfg: MiningConfig,
+    origin: tuple[float, float] | None = None,
+) -> Dataset:
+    """instances(instance_id, feature, x, y) -> pairs(a_id, a_feature,
+    b_id, b_feature), one row per unordered qualifying pair."""
+    d = cfg.cell_size()
+    if origin is None:
+        origin = cfg.grid_origin or global_origin(instances)
+    ds = assign_cells(instances, d, origin)
+    ds = replicate_to_tiles(ds, cfg.tile_cells)
+    return ds.groupby("tile").map_groups(
+        lambda df: _pair_kernel(df, d), batch_format="pandas"
+    )
