@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      -- flagship co-location mining pipeline on sf0.001.
+* ``queries()``    -- one callable per implemented operator/pipeline
+                      (SURVEY.md sec. 2 + training-data ops), taking sf_dir.
+* ``oracle_sql()`` -- exact DuckDB SQL for every SQL-expressible query
+                      (same column names; iterative/heuristic ops omitted
+                      -> rows-only check).
 """
 
 from __future__ import annotations
@@ -18,27 +16,40 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+    queries as _colo_q,
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full rare-feature WPI co-location mining over the
+    deterministic spatial projection of sf0.001 events (read ->
+    distance join -> ordered stars -> per-subtree level loop)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.config import (
+        MiningConfig,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        colocation,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.instances import (
+        instances_from_events,
+    )
+
+    inst = instances_from_events("/root/testdata/sf0.001")
+    # sf0.001 is sparse (1k points / 1e6 area): widen d so patterns exist
+    run = colocation.mine(
+        inst, MiningConfig(neighbor_distance=20.0, min_prevalence=0.15)
+    )
+    return run.patterns
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(_colo_q.COLO_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_colo_q.COLO_SQL)
+    return out

@@ -1,0 +1,222 @@
+"""Driver-facing query registry (consumed by __ray_entry__.py).
+
+One entry per operator/pipeline from SURVEY.md sec. 2, each paired where
+possible with an exact ANSI-SQL oracle over the same parquet tables so
+the DuckDB correctness gate can hash-compare results. Column names are
+kept identical between the Ray pipelines and the SQL.
+
+The co-location family runs over a deterministic projection of the
+``events`` table (sources/instances.py); parameters are fixed
+(d = COLO_D, min_prev = COLO_MIN_PREV) so results are reproducible at
+any scale factor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..canonical import FeatureContext
+from ..config import MiningConfig
+from ..sources.instances import EVENTS_INSTANCES_SQL, instances_from_events
+from ..stages.grid import assign_cells, global_origin
+from ..stages.pairs import neighbor_pairs
+from ..stages.stars import ordered_edges
+from . import colocation, k2
+
+COLO_D = 6.0
+COLO_MIN_PREV = 0.15
+
+
+def _cfg() -> MiningConfig:
+    return MiningConfig(neighbor_distance=COLO_D, min_prevalence=COLO_MIN_PREV)
+
+
+def _ctx(instances: Dataset) -> FeatureContext:
+    return colocation.make_context(instances)
+
+
+# ----- Ray pipelines ------------------------------------------------------
+
+def q_instances(sf_dir: str) -> Dataset:
+    return instances_from_events(sf_dir)
+
+
+def q_feature_counts(sf_dir: str) -> Dataset:
+    ds = instances_from_events(sf_dir).groupby("feature").count()
+    return ds.map_batches(
+        lambda t: t.rename_columns(["feature", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_cell_assign(sf_dir: str) -> Dataset:
+    inst = instances_from_events(sf_dir)
+    origin = global_origin(inst)
+    ds = assign_cells(inst, COLO_D, origin)
+    return ds.select_columns(["instance_id", "feature", "cell_x", "cell_y"])
+
+
+def q_neighbor_pairs(sf_dir: str) -> Dataset:
+    return neighbor_pairs(instances_from_events(sf_dir), _cfg())
+
+
+def q_ordered_edges(sf_dir: str) -> Dataset:
+    inst = instances_from_events(sf_dir)
+    ctx = _ctx(inst)
+    return ordered_edges(neighbor_pairs(inst, _cfg()), ctx)
+
+
+def q_star_sizes(sf_dir: str) -> Dataset:
+    edges = q_ordered_edges(sf_dir)
+    ds = edges.groupby(["center_id", "nbr_feature"]).count()
+    return ds.map_batches(
+        lambda t: t.rename_columns(["center_id", "nbr_feature", "n_nbrs"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_patterns_k2(sf_dir: str) -> pa.Table:
+    inst = instances_from_events(sf_dir)
+    return k2.k2_metrics(inst, _cfg(), _ctx(inst))
+
+
+def q_patterns_full(sf_dir: str) -> pa.Table:
+    """Full multi-level WPI mining (not SQL-expressible; rows-only check
+    in the driver -- exact conformance is pytest's engine-vs-oracle gate)."""
+    inst = instances_from_events(sf_dir)
+    run = colocation.mine(inst, _cfg())
+    t = run.patterns_table()
+    return pa.table(
+        {
+            "pattern": t["pattern"],
+            "k": t["k"],
+            "wpi": pc.round(t["wpi"], ndigits=9),
+            "pi": pc.round(t["pi"], ndigits=9),
+            "n_rows": t["n_rows"],
+        }
+    ).sort_by([("k", "ascending"), ("pattern", "ascending")])
+
+
+# ----- DuckDB oracles -----------------------------------------------------
+
+_INST = f"inst AS ({EVENTS_INSTANCES_SQL})"
+
+_PAIRS = f"""pairs AS (
+  SELECT a.instance_id AS a_id, a.feature AS a_feature,
+         b.instance_id AS b_id, b.feature AS b_feature
+  FROM inst a JOIN inst b
+    ON b.x >= a.x - {COLO_D} AND b.x <= a.x + {COLO_D}
+   AND b.y >= a.y - {COLO_D} AND b.y <= a.y + {COLO_D}
+   AND a.instance_id < b.instance_id
+  WHERE a.feature <> b.feature
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {COLO_D * COLO_D}
+)"""
+
+_COUNTS = "counts AS (SELECT feature, CAST(count(*) AS DOUBLE) AS n FROM inst GROUP BY feature)"
+
+SQL_INSTANCES = f"WITH {_INST} SELECT * FROM inst"
+
+SQL_FEATURE_COUNTS = (
+    f"WITH {_INST} SELECT feature, count(*) AS n FROM inst GROUP BY feature"
+)
+
+SQL_CELL_ASSIGN = f"""WITH {_INST},
+o AS (SELECT min(x) AS ox, min(y) AS oy FROM inst)
+SELECT instance_id, feature,
+       CAST(floor((x - o.ox) / {COLO_D}) AS BIGINT) AS cell_x,
+       CAST(floor((y - o.oy) / {COLO_D}) AS BIGINT) AS cell_y
+FROM inst, o"""
+
+SQL_NEIGHBOR_PAIRS = f"WITH {_INST}, {_PAIRS} SELECT * FROM pairs"
+
+_DIRECTED = """directed AS (
+  SELECT CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN a_id ELSE b_id END AS center_id,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN a_feature ELSE b_feature END AS center_feature,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN b_id ELSE a_id END AS nbr_id,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN b_feature ELSE a_feature END AS nbr_feature
+  FROM pairs
+  JOIN counts ca ON ca.feature = a_feature
+  JOIN counts cb ON cb.feature = b_feature
+)"""
+
+SQL_ORDERED_EDGES = f"WITH {_INST}, {_COUNTS}, {_PAIRS}, {_DIRECTED} SELECT * FROM directed"
+
+SQL_STAR_SIZES = f"""WITH {_INST}, {_COUNTS}, {_PAIRS}, {_DIRECTED}
+SELECT center_id, nbr_feature, count(*) AS n_nbrs
+FROM directed GROUP BY center_id, nbr_feature"""
+
+SQL_PATTERNS_K2 = f"""WITH {_INST}, {_COUNTS}, {_PAIRS},
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM counts),
+ranked AS (SELECT feature, n, row_number() OVER (ORDER BY n, feature) AS rk FROM counts),
+delta AS (
+  SELECT 2.0 / (m.m * (m.m - 1.0))
+         * (SELECT sum(b.n / a.n) FROM ranked a JOIN ranked b ON b.rk > a.rk)
+         AS delta
+  FROM m
+),
+canon AS (
+  SELECT CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN a_feature ELSE b_feature END AS f1,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN b_feature ELSE a_feature END AS f2,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN a_id ELSE b_id END AS id1,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN b_id ELSE a_id END AS id2
+  FROM pairs
+  JOIN counts ca ON ca.feature = a_feature
+  JOIN counts cb ON cb.feature = b_feature
+),
+agg AS (
+  SELECT f1, f2, count(*) AS n_rows,
+         count(DISTINCT id1) AS d1, count(DISTINCT id2) AS d2
+  FROM canon GROUP BY f1, f2
+),
+met AS (
+  SELECT f1 || ',' || f2 AS pattern, CAST(2 AS INTEGER) AS k, n_rows,
+         d1 / c1.n AS pr1, d2 / c2.n AS pr2,
+         CASE WHEN delta.delta <= 1e-9 THEN 0.0
+              ELSE exp(-pow(c1.n / least(c1.n, c2.n) - 1.0, 2)
+                       / (2.0 * delta.delta * delta.delta)) END AS ri1,
+         CASE WHEN delta.delta <= 1e-9 THEN 0.0
+              ELSE exp(-pow(c2.n / least(c1.n, c2.n) - 1.0, 2)
+                       / (2.0 * delta.delta * delta.delta)) END AS ri2
+  FROM agg
+  JOIN counts c1 ON c1.feature = f1
+  JOIN counts c2 ON c2.feature = f2, delta
+)
+SELECT pattern, k, n_rows,
+       round(least(pr1, pr2), 9) AS pi,
+       round(least(CASE WHEN ri1 > 1e-9 THEN pr1 / ri1 ELSE 0.0 END,
+                   CASE WHEN ri2 > 1e-9 THEN pr2 / ri2 ELSE 0.0 END), 9) AS wpi
+FROM met"""
+
+
+COLO_QUERIES = {
+    "colo_instances": q_instances,
+    "colo_feature_counts": q_feature_counts,
+    "colo_cell_assign": q_cell_assign,
+    "colo_neighbor_pairs": q_neighbor_pairs,
+    "colo_ordered_edges": q_ordered_edges,
+    "colo_star_sizes": q_star_sizes,
+    "colo_patterns_k2": q_patterns_k2,
+    "colo_patterns": q_patterns_full,
+}
+
+COLO_SQL = {
+    "colo_instances": SQL_INSTANCES,
+    "colo_feature_counts": SQL_FEATURE_COUNTS,
+    "colo_cell_assign": SQL_CELL_ASSIGN,
+    "colo_neighbor_pairs": SQL_NEIGHBOR_PAIRS,
+    "colo_ordered_edges": SQL_ORDERED_EDGES,
+    "colo_star_sizes": SQL_STAR_SIZES,
+    "colo_patterns_k2": SQL_PATTERNS_K2,
+    # colo_patterns: no SQL oracle (iterative level-loop); rows-only check,
+    # exact conformance covered by tests/test_engine_vs_oracle.py.
+}

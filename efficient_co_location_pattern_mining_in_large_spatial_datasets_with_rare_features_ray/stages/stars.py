@@ -136,3 +136,25 @@ def build_stars(
     return edges.groupby("bucket").map_groups(
         _build_bucket_stars, batch_format="pandas"
     )
+
+
+def ordered_edges(pairs: Dataset, ctx: FeatureContext) -> Dataset:
+    """Directed star edges only (no subtree machinery): one row per
+    ordered pair (center keeps nbr per src/neighborhood_mgr.cpp:20-30).
+    Columns: center_id, center_feature, nbr_id, nbr_feature."""
+    counts = dict(ctx.counts)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ca = df["a_feature"].map(counts)
+        cb = df["b_feature"].map(counts)
+        a_keeps_b = (ca < cb) | ((ca == cb) & (df["a_feature"] <= df["b_feature"]))
+        return pd.DataFrame(
+            {
+                "center_id": df["a_id"].where(a_keeps_b, df["b_id"]),
+                "center_feature": df["a_feature"].where(a_keeps_b, df["b_feature"]),
+                "nbr_id": df["b_id"].where(a_keeps_b, df["a_id"]),
+                "nbr_feature": df["b_feature"].where(a_keeps_b, df["a_feature"]),
+            }
+        )
+
+    return pairs.map_batches(fn, batch_format="pandas")
