@@ -94,6 +94,15 @@ def mine(
     pairs = neighbor_pairs(instances, cfg, origin=origin)
     stars = build_stars(pairs, ctx, cfg)
     patterns = mine_subtrees(stars, ctx, cfg)
+
+    def _coerce(t: pa.Table) -> pa.Table:
+        # groupby partitions with zero groups yield schemaless empty blocks;
+        # pin every block to PATTERN_SCHEMA so consumers see one stable schema
+        if t.num_rows == 0 or not set(PATTERN_SCHEMA.names) <= set(t.column_names):
+            return PATTERN_SCHEMA.empty_table()
+        return t.select(PATTERN_SCHEMA.names).cast(PATTERN_SCHEMA)
+
+    patterns = patterns.map_batches(_coerce, batch_format="pyarrow")
     patterns = patterns.sort(["k", "pattern"])
     # sort() is the consuming barrier; time to here covers the whole DAG
     patterns = patterns.materialize()
