@@ -1,0 +1,130 @@
+"""Vectorized text-analysis kernels (language-ID, quality, tokens,
+fingerprints).
+
+Every function is batch-shaped (pandas Series / numpy in, numpy out) so
+it can run inside ``map_batches`` without per-row Python in the hot
+path. The quality/token metrics are specified to be *exactly*
+reproducible in ANSI SQL (the DuckDB oracle re-states the same
+formulas); langid and fingerprinting are heuristic/iterative and are
+covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+PUNCT_CLASS = r"[.,!?;:]"
+BPE_TOKEN_RE = r"[\w]+|[^\w\s]"
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(PUNCT_CLASS)
+_BPE = re.compile(BPE_TOKEN_RE)
+
+# tiny per-language stopword profiles for the heuristic language id
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for on with as was at by".split()),
+    "es": frozenset("el la de que y en un ser se no por con para como su".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist".split()),
+    "fr": frozenset("le la de et les des en un du une que est pour qui".split()),
+}
+
+
+def quality_metrics(texts: pd.Series) -> pd.DataFrame:
+    """n_chars / n_words / avg_word_len / punct_ratio / stop_ratio /
+    quality_score -- all SQL-reproducible (see queries.py SQL)."""
+    n_chars = texts.str.len().to_numpy(np.int64)
+    words = texts.str.split()
+    n_words = words.str.len().to_numpy(np.int64)
+    nospace = texts.str.replace(_WS, "", regex=True).str.len().to_numpy(np.int64)
+    punct = texts.str.count(_PUNCT).to_numpy(np.int64)
+    stops = words.map(
+        lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+    ).to_numpy(np.int64)
+    nw = np.maximum(n_words, 1).astype(np.float64)
+    avg_word_len = np.round(nospace / nw, 6)
+    punct_ratio = np.round(punct / np.maximum(n_chars, 1), 6)
+    stop_ratio = np.round(stops / nw, 6)
+    score = 1.0 / (
+        1.0
+        + np.exp(
+            -(
+                0.02 * n_words
+                + 5.0 * stop_ratio
+                - 10.0 * punct_ratio
+                - 0.2 * np.abs(avg_word_len - 5.0)
+            )
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "avg_word_len": avg_word_len,
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+            "quality_score": np.round(score, 6),
+        }
+    )
+
+
+def token_counts(texts: pd.Series) -> pd.DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return pd.DataFrame(
+        {
+            "n_tokens_ws": texts.str.split().str.len().to_numpy(np.int64),
+            "n_tokens_bpe": texts.str.findall(_BPE).str.len().to_numpy(np.int64),
+        }
+    )
+
+
+def lang_id(texts: pd.Series) -> np.ndarray:
+    """Heuristic language id: argmax of per-language stopword hit counts
+    with deterministic tiebreak (profile order), 'und' when no profile
+    scores. A real model would slot into the same actor stage."""
+    out = np.empty(len(texts), dtype=object)
+    profiles = list(_LANG_PROFILES.items())
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        best, best_score = "und", 0
+        for lang, prof in profiles:
+            score = sum(1 for w in toks if w in prof)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = best
+    return out
+
+
+def fingerprint(texts: pd.Series) -> np.ndarray:
+    """Order-sensitive rolling document hash over whitespace tokens:
+    h = (h * 1000003 + crc32(token)) mod 2^61. Deterministic across
+    processes (unlike Python's salted hash())."""
+    mod = (1 << 61) - 1
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = 0
+        for tok in t.split():
+            h = (h * 1000003 + zlib.crc32(tok.encode("utf-8"))) % mod
+        out[i] = h
+    return out
+
+
+def char_shingles(text: str, k: int = 5) -> set[int]:
+    """crc32-hashed character k-shingles (lowercased)."""
+    s = text.lower()
+    if len(s) < k:
+        return {zlib.crc32(s.encode("utf-8"))} if s else set()
+    enc = s.encode("utf-8")
+    # byte-shingles of the utf-8 encoding (ascii corpus: == char shingles)
+    return {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0

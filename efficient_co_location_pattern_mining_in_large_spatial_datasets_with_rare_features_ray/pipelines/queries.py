@@ -198,6 +198,199 @@ SELECT pattern, k, n_rows,
 FROM met"""
 
 
+# ----- documents / embeddings (training-data ops) -------------------------
+
+def _docs(sf_dir: str) -> Dataset:
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+
+def _embeddings(sf_dir: str) -> Dataset:
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def q_doc_quality(sf_dir: str) -> Dataset:
+    from . import text as text_pipe
+
+    return text_pipe.doc_quality(_docs(sf_dir))
+
+
+def q_token_totals(sf_dir: str) -> Dataset:
+    from . import text as text_pipe
+
+    return text_pipe.token_totals(_docs(sf_dir))
+
+
+def q_langid(sf_dir: str) -> Dataset:
+    from . import text as text_pipe
+
+    return text_pipe.doc_langid(_docs(sf_dir))
+
+
+def q_fingerprints(sf_dir: str) -> Dataset:
+    from . import text as text_pipe
+
+    return text_pipe.doc_fingerprints(_docs(sf_dir))
+
+
+def q_dedup_exact(sf_dir: str) -> Dataset:
+    from . import dedup as dedup_pipe
+
+    ds = dedup_pipe.exact_dedup(_docs(sf_dir))
+    return ds.select_columns(["doc_id", "n_copies"])
+
+
+def q_minhash_neardup(sf_dir: str) -> pa.Table:
+    from . import dedup as dedup_pipe
+
+    return dedup_pipe.minhash_neardup_pairs(_docs(sf_dir), threshold=0.7)
+
+
+def q_simhash(sf_dir: str) -> Dataset:
+    from . import dedup as dedup_pipe
+
+    return dedup_pipe.simhash_signatures(_docs(sf_dir))
+
+
+def q_ngram_pairs(sf_dir: str) -> Dataset:
+    from . import dedup as dedup_pipe
+
+    return dedup_pipe.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+
+
+ANN_QUERY_IDS = [0, 1, 2]
+ANN_K = 10
+NEARDUP_TAU = 0.4
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    from . import similarity
+
+    return similarity.ann_topk(_embeddings(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
+    from . import similarity
+
+    return similarity.lsh_bucket_topk(
+        _embeddings(sf_dir), ANN_QUERY_IDS, k=ANN_K
+    )
+
+
+def q_embed_neardup(sf_dir: str) -> pa.Table:
+    from . import similarity
+
+    return similarity.cosine_neardup_pairs(_embeddings(sf_dir), NEARDUP_TAU)
+
+
+SQL_DOC_QUALITY = """WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nospace,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ('the','a','and','of','to','in','is','on','for','with'))) AS stops
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round(CAST(nospace AS DOUBLE) / greatest(n_words, 1), 6) AS avg_word_len,
+       round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(CAST(stops AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
+       round(1.0 / (1.0 + exp(-(
+           0.02 * n_words
+           + 5.0 * round(CAST(stops AS DOUBLE) / greatest(n_words, 1), 6)
+           - 10.0 * round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6)
+           - 0.2 * abs(round(CAST(nospace AS DOUBLE) / greatest(n_words, 1), 6) - 5.0)
+       ))), 6) AS quality_score
+FROM base"""
+
+SQL_TOKEN_TOTALS = """SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens_ws,
+       CAST(sum(len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]'))) AS BIGINT) AS total_tokens_bpe
+FROM documents GROUP BY source"""
+
+SQL_DEDUP_EXACT = """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text"""
+
+_EMB_NORMS = """pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+norms AS (
+  SELECT e.vec_id, sqrt(sum(pow(CAST(e.embedding[p.p] AS DOUBLE), 2))) AS nrm
+  FROM embeddings e, pos p GROUP BY e.vec_id
+)"""
+
+SQL_ANN_TOPK = f"""WITH {_EMB_NORMS},
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         sum(CAST(q.embedding[p.p] AS DOUBLE) * CAST(e.embedding[p.p] AS DOUBLE)) AS dot
+  FROM embeddings q, embeddings e, pos p
+  WHERE q.vec_id IN (0, 1, 2) AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+sims AS (
+  SELECT query_id, d.vec_id,
+         d.dot / (nq.nrm * ne.nrm) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim
+FROM ranked WHERE rn <= {ANN_K}"""
+
+SQL_EMBED_NEARDUP = f"""WITH {_EMB_NORMS},
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sum(CAST(a.embedding[p.p] AS DOUBLE) * CAST(b.embedding[p.p] AS DOUBLE)) AS dot
+  FROM embeddings a, embeddings b, pos p
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 6) AS sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.a
+JOIN norms nb ON nb.vec_id = d.b
+WHERE d.dot / (na.nrm * nb.nrm) >= {NEARDUP_TAU}"""
+
+
+DATA_QUERIES = {
+    "doc_quality": q_doc_quality,
+    "token_totals": q_token_totals,
+    "doc_langid": q_langid,
+    "doc_fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_minhash_neardup,
+    "dedup_simhash": q_simhash,
+    "dedup_ngram_jaccard": q_ngram_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embed_neardup": q_embed_neardup,
+}
+
+DATA_SQL = {
+    "doc_quality": SQL_DOC_QUALITY,
+    "token_totals": SQL_TOKEN_TOTALS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ann_topk": SQL_ANN_TOPK,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    # doc_langid / doc_fingerprints / dedup_minhash_lsh / dedup_simhash /
+    # dedup_ngram_jaccard / ann_topk_lsh: heuristic or iterative -> rows-only;
+    # covered by unit tests (tests/test_text_dedup.py, tests/test_similarity.py).
+}
+
+
 COLO_QUERIES = {
     "colo_instances": q_instances,
     "colo_feature_counts": q_feature_counts,
