@@ -1,0 +1,89 @@
+"""ANN / embedding near-dup tests: brute-force correctness against a
+local numpy oracle, and LSH recall against the brute-force baseline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.similarity import (
+    ann_topk,
+    cosine_neardup_pairs,
+    lsh_bucket_topk,
+)
+
+
+def make_embeddings(n=200, dim=16, n_clusters=8, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        rows.append((i, (centers[c] + rng.standard_normal(dim) * 0.3).astype(np.float32)))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    return df
+
+
+def numpy_topk(df, qids, k):
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    out = {}
+    for q in qids:
+        qi = np.nonzero(ids == q)[0][0]
+        sims = M @ M[qi]
+        mask = ids != q
+        idx = np.nonzero(mask)[0]
+        order = sorted(idx, key=lambda i: (-sims[i], ids[i]))[:k]
+        out[q] = [(int(ids[i]), round(float(sims[i]), 6)) for i in order]
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    return make_embeddings()
+
+
+@pytest.fixture()
+def emb_ds(ray_session, emb_df):
+    return ray.data.from_pandas(emb_df).repartition(4)
+
+
+def test_ann_topk_matches_numpy(emb_ds, emb_df):
+    qids = [0, 5, 17]
+    want = numpy_topk(emb_df, qids, 10)
+    t = ann_topk(emb_ds, qids, k=10)
+    got: dict[int, list] = {}
+    for q, v, s in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist(), t["sim"].to_pylist()):
+        got.setdefault(q, []).append((v, s))
+    assert got == want
+
+
+def test_cosine_neardup_pairs_exact(emb_ds, emb_df):
+    M = np.stack(emb_df["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    tau = 0.98
+    iu, ju = np.triu_indices(len(M), k=1)
+    want = {
+        (int(a), int(b)) for a, b in zip(iu[S[iu, ju] >= tau], ju[S[iu, ju] >= tau])
+    }
+    t = cosine_neardup_pairs(emb_ds, tau)
+    got = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    assert got == want
+    assert len(want) > 0  # clusters guarantee some near-dups
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb_ds, emb_df):
+    qids = [0, 5, 17]
+    brute = numpy_topk(emb_df, qids, 10)
+    t = lsh_bucket_topk(emb_ds, qids, k=10, n_bits=6)
+    got: dict[int, set] = {}
+    for q, v in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()):
+        got.setdefault(q, set()).add(v)
+    # probabilistic recall: same-cluster vectors share buckets with high prob
+    for q in qids:
+        want_ids = {v for v, _ in brute[q]}
+        recall = len(got.get(q, set()) & want_ids) / len(want_ids)
+        assert recall >= 0.5, (q, recall)

@@ -1,0 +1,139 @@
+"""Unit + pipeline tests for the text analysis and dedup operators,
+including planted near-duplicates for the probabilistic (LSH) paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.dedup import (
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.text import (
+    char_shingles,
+    fingerprint,
+    jaccard,
+    lang_id,
+    quality_metrics,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+
+def docs_ds(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    return ray.data.from_pandas(df).repartition(3)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs to the forest "
+    "with a friend of the pack for a long day in the sun"
+)
+
+
+def test_quality_metrics_by_hand():
+    m = quality_metrics(pd.Series(["Hi, there! To be or not."]))
+    assert m["n_chars"][0] == 24
+    assert m["n_words"][0] == 6
+    assert m["punct_ratio"][0] == round(4 / 24, 6)  # "," "!" "." and trailing "."
+    # stopwords present: "to" (1)
+    assert m["stop_ratio"][0] == round(1 / 6, 6)
+
+
+def test_langid_profiles():
+    texts = pd.Series(
+        [
+            "the cat and the dog sat on the mat with a hat",
+            "el perro y el gato en la casa con su amigo",
+            "der Hund und die Katze in den Garten mit dem Ball",
+            "zzz qqq xxx",  # no stopword hits -> 'und'
+        ]
+    )
+    assert list(lang_id(texts)) == ["en", "es", "de", "und"]
+
+
+def test_fingerprint_deterministic_and_order_sensitive():
+    a = fingerprint(pd.Series(["alpha beta gamma", "beta alpha gamma"]))
+    b = fingerprint(pd.Series(["alpha beta gamma"]))
+    assert a[0] == b[0]
+    assert a[0] != a[1]  # rolling hash is order-sensitive
+
+
+def test_minhash_estimates_jaccard():
+    t1 = BASE
+    t2 = BASE.replace("lazy", "sleepy")  # near-dup
+    t3 = "completely different content about spaceships and nebulae"
+    s1, s2, s3 = (minhash_signature(t) for t in (t1, t2, t3))
+    est12 = float(np.mean(s1 == s2))
+    true12 = jaccard(char_shingles(t1), char_shingles(t2))
+    assert abs(est12 - true12) < 0.15
+    assert float(np.mean(s1 == s3)) < 0.2
+
+
+def test_simhash_near_for_neardups():
+    h1 = simhash64(BASE)
+    h2 = simhash64(BASE.replace("lazy", "sleepy"))
+    h3 = simhash64("totally unrelated words about orbital mechanics and fuel")
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+    assert hamming64(h1, h2) <= 16
+
+
+def test_exact_dedup_pipeline(ray_session):
+    rows = [
+        (1, "aaa", "en", "s0"),
+        (2, "bbb", "en", "s0"),
+        (3, "aaa", "en", "s1"),
+        (4, "ccc", "en", "s1"),
+        (5, "aaa", "en", "s2"),
+    ]
+    out = exact_dedup(docs_ds(rows)).take_all()
+    got = {(r["doc_id"], r["n_copies"]) for r in out}
+    assert got == {(1, 3), (2, 1), (4, 1)}
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session):
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=60))
+        rows.append((i, " ".join(words), "en", "s0"))
+    # plant 3 near-dup pairs (1-word perturbation => jaccard ~ 0.9)
+    for j, base_id in enumerate([3, 7, 11]):
+        words = rows[base_id][1].split()
+        words[5] = "changed"
+        rows.append((100 + j, " ".join(words), "en", "s0"))
+    out = minhash_neardup_pairs(docs_ds(rows), threshold=0.7)
+    pairs = {(a, b) for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist())}
+    assert {(3, 100), (7, 101), (11, 102)} <= pairs
+    # sanity: no massive false-positive explosion
+    assert len(pairs) < 10
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    rows = [
+        (1, "abcdefghij", "en", "s0"),
+        (2, "abcdefghiX", "en", "s0"),   # high 3-gram overlap with 1
+        (3, "zzzzyyyyxxxx", "en", "s0"),
+        (4, "abcdefghij", "en", "s1"),   # other source: never paired with 1
+    ]
+    out = ngram_jaccard_pairs(docs_ds(rows), threshold=0.3, k=3).take_all()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert (1, 2) in got
+    assert all(a != 4 and b != 4 for a, b in got)
+    want = jaccard(char_shingles("abcdefghij", 3), char_shingles("abcdefghiX", 3))
+    assert got[(1, 2)] == round(want, 6)
+
+
+def test_simhash_pipeline_deterministic(ray_session):
+    rows = [(i, f"text number {i} with words", "en", "s0") for i in range(10)]
+    a = sorted((r["doc_id"], r["simhash"]) for r in simhash_signatures(docs_ds(rows)).take_all())
+    b = sorted((r["doc_id"], r["simhash"]) for r in simhash_signatures(docs_ds(rows)).take_all())
+    assert a == b
