@@ -42,7 +42,7 @@ def test_quality_metrics_by_hand():
     m = quality_metrics(pd.Series(["Hi, there! To be or not."]))
     assert m["n_chars"][0] == 24
     assert m["n_words"][0] == 6
-    assert m["punct_ratio"][0] == round(4 / 24, 6)  # "," "!" "." and trailing "."
+    assert m["punct_ratio"][0] == round(3 / 24, 6)  # "," "!" "."
     # stopwords present: "to" (1)
     assert m["stop_ratio"][0] == round(1 / 6, 6)
 
