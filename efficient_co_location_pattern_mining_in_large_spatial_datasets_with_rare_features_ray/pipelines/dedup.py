@@ -27,7 +27,7 @@ from ray.data import Dataset
 from ..functions.dedup import (
     MINHASH_BANDS,
     band_hashes,
-    content_hash,
+    crc_bucket,
     minhash_signature,
     simhash64,
 )
@@ -41,17 +41,19 @@ def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "text"]].copy()
-        df["h"] = df["text"].map(content_hash)
+        df["bucket"] = df["text"].map(lambda t: crc_bucket(t, n_buckets))
         return df
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse bucket -> exact text groupby INSIDE (vectorized pandas);
+        # never one Ray group per distinct text
         g = df.groupby("text", sort=False)["doc_id"]
         out = g.agg(["min", "size"]).reset_index(drop=True)
         return out.rename(columns={"min": "doc_id", "size": "n_copies"})
 
     return (
         docs.map_batches(add_bucket, batch_format="pandas")
-        .groupby("h")
+        .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -77,25 +79,42 @@ def minhash_band_rows(docs: Dataset) -> Dataset:
     return docs.map_batches(fn, batch_format="pandas")
 
 
-def minhash_candidates(docs: Dataset) -> Dataset:
-    """Candidate near-dup pairs (a < b) from LSH band buckets, deduped."""
+def minhash_candidates(docs: Dataset, n_buckets: int = 64) -> Dataset:
+    """Candidate near-dup pairs (a < b) from LSH band buckets, deduped.
+    The Ray shuffle key is a coarse hash of (band, band_hash) -- one Ray
+    group per bucket, with the per-(band, band_hash) pairing vectorized
+    in pandas inside (never one Ray group per LSH bucket)."""
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for _, sub in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
+        if not a_out:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        out = pd.DataFrame(
+            {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+        )
+        return out.drop_duplicates()
 
-    cands = (
-        minhash_band_rows(docs)
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    rows = minhash_band_rows(docs)
+    rows = rows.map_batches(
+        lambda df: df.assign(
+            bb=(df["band_hash"].to_numpy(np.int64) % n_buckets
+                + df["band"].to_numpy(np.int64) * n_buckets)
+        ),
+        batch_format="pandas",
     )
-    # dedup identical pairs surfaced by multiple bands
-    return cands.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    # pairs may still repeat across bands; consumers dedupe (the verify
+    # step does it driver-side -- candidates are small by construction)
+    return rows.groupby("bb").map_groups(pairs_in_bucket, batch_format="pandas")
 
 
 def minhash_neardup_pairs(
@@ -104,7 +123,8 @@ def minhash_neardup_pairs(
     """LSH candidates verified by exact shingle Jaccard >= threshold.
     Returns (a, b, jaccard) sorted. The verify step broadcasts only the
     candidate docs' shingle sets (small by construction)."""
-    cand = minhash_candidates(docs).take_all()
+    raw = minhash_candidates(docs).take_all()
+    cand = [{"a": a, "b": b} for a, b in sorted({(int(c["a"]), int(c["b"])) for c in raw})]
     if not cand:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
