@@ -32,11 +32,42 @@ from ..stages.pairs import neighbor_pairs
 from ..stages.stars import build_stars
 
 
+def scan_metadata(instances: Dataset) -> tuple[dict[str, int], tuple[float, float]]:
+    """One streaming pass computing BOTH the feature-count map
+    (src/utils.cpp:32-44, keyed on the feature column) and the global
+    grid origin (min x, min y -- src/spatial_index.cpp:52-61): per-batch
+    partial aggregates merged on the driver, no shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = t["feature"].combine_chunks().value_counts()
+        feats = vc.field("values")
+        ns = vc.field("counts").cast(pa.int64())
+        mx = pc.min(t["x"]).as_py()
+        my = pc.min(t["y"]).as_py()
+        k = len(feats)
+        return pa.table(
+            {
+                "feature": feats,
+                "n": ns,
+                "min_x": pa.array([mx] * k, pa.float64()),
+                "min_y": pa.array([my] * k, pa.float64()),
+            }
+        )
+
+    rows = instances.map_batches(partial, batch_format="pyarrow").take_all()
+    counts: dict[str, int] = {}
+    ox, oy = float("inf"), float("inf")
+    for r in rows:
+        counts[r["feature"]] = counts.get(r["feature"], 0) + int(r["n"])
+        ox = min(ox, r["min_x"])
+        oy = min(oy, r["min_y"])
+    return counts, (ox, oy)
+
+
 def feature_counts(instances: Dataset) -> dict[str, int]:
-    """Global count-by-feature (reference src/utils.cpp:32-44 -- but keyed
-    on the feature column, not id.substr(0,1)). Small driver-side result."""
-    rows = instances.groupby("feature").count().take_all()
-    return {r["feature"]: int(r["count()"]) for r in rows}
+    return scan_metadata(instances)[0]
 
 
 def make_context(instances: Dataset) -> FeatureContext:
@@ -88,9 +119,13 @@ def mine(
     (instance_id: string, feature: string, x: float64, y: float64)."""
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
+    origin = cfg.grid_origin
     if ctx is None:
-        ctx = make_context(instances)
-    origin = cfg.grid_origin or global_origin(instances)
+        counts, scanned_origin = scan_metadata(instances)
+        ctx = FeatureContext(counts)
+        origin = origin or scanned_origin
+    elif origin is None:
+        origin = global_origin(instances)
     pairs = neighbor_pairs(instances, cfg, origin=origin)
     stars = build_stars(pairs, ctx, cfg)
     patterns = mine_subtrees(stars, ctx, cfg)
@@ -106,6 +141,91 @@ def mine(
     patterns = patterns.sort(["k", "pattern"])
     # sort() is the consuming barrier; time to here covers the whole DAG
     patterns = patterns.materialize()
+    secs = time.perf_counter() - t0
+    return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
+
+
+def mine_coordinated(
+    instances: Dataset,
+    cfg: MiningConfig | None = None,
+    ctx: FeatureContext | None = None,
+    n_shards: int | None = None,
+    work_dir: str | None = None,
+) -> MiningRun:
+    """Salted / root-instance-sharded mining (stages/sharded.py).
+
+    Same exact output as ``mine`` but partitioned by hash(root instance)
+    instead of by rarest feature: immune to feature-count skew (a
+    5-feature dataset still fans out to n_shards workers), supports
+    Lemma 3 exactly (cfg.use_lemma3), and resumes from the sharded-star
+    parquet checkpoint when work_dir is reused."""
+    import tempfile
+
+    import ray as _ray
+
+    from ..stages.sharded import (
+        ShardMiner,
+        build_shard_stars,
+        coordinated_level_loop,
+    )
+    from ..state.checkpoint import checkpoint_dataset, is_complete
+
+    cfg = cfg or MiningConfig()
+    t0 = time.perf_counter()
+    origin = cfg.grid_origin
+    if ctx is None:
+        counts, scanned_origin = scan_metadata(instances)
+        ctx = FeatureContext(counts)
+        origin = origin or scanned_origin
+    total_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    if n_shards is None:
+        n_shards = max(8, 4 * total_cpus)  # fine-grained for balance
+    work_dir = work_dir or tempfile.mkdtemp(prefix="clpm_shards_")
+
+    fingerprint = {
+        "d": cfg.neighbor_distance,
+        "n_shards": n_shards,
+        "counts": sorted(ctx.counts.items()),
+    }
+    stage_dir = f"{work_dir}/shard_stars"
+    if not is_complete(stage_dir, fingerprint):
+        if origin is None:
+            origin = global_origin(instances)
+        pairs = neighbor_pairs(instances, cfg, origin=origin)
+        stars = build_shard_stars(pairs, ctx, n_shards, cfg.star_buckets)
+        checkpoint_dataset(stars, stage_dir, fingerprint, partition_cols=["shard"])
+
+    # one actor per core, each owning n_shards/n_actors shards: actor
+    # processes are expensive to start; shard hashing does the balancing
+    n_actors = max(1, min(total_cpus, n_shards))
+    owned: list[list[int]] = [[] for _ in range(n_actors)]
+    for s in range(n_shards):
+        owned[s % n_actors].append(s)
+    actors = [
+        ShardMiner.remote(ctx, shards, n_shards) for shards in owned
+    ]
+    try:
+        ray.get([a.load.remote(stage_dir) for a in actors])
+        recs = coordinated_level_loop(
+            actors, ctx, cfg.min_prevalence, cfg.use_lemma3, cfg.measure
+        )
+    finally:
+        for a in actors:
+            ray.kill(a)
+    recs.sort(key=lambda r: (r["k"], r["pattern"]))
+    t = pa.Table.from_arrays(
+        [
+            pa.array([",".join(r["pattern"]) for r in recs], pa.string()),
+            pa.array([r["k"] for r in recs], pa.int32()),
+            pa.array([r["pattern"][0] for r in recs], pa.string()),
+            pa.array([r["wpi"] for r in recs], pa.float64()),
+            pa.array([r["pi"] for r in recs], pa.float64()),
+            pa.array([r["n_rows"] for r in recs], pa.int64()),
+            pa.array([r["prs"] for r in recs], pa.list_(pa.float64())),
+        ],
+        schema=PATTERN_SCHEMA,
+    )
+    patterns = ray.data.from_arrow(t)
     secs = time.perf_counter() - t0
     return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
 
