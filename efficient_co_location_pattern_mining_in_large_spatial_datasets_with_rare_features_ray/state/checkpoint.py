@@ -23,11 +23,17 @@ def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_MANIFEST.json")
 
 
+def _normalize(fingerprint: dict) -> dict:
+    # JSON round-trip so tuples/lists/int-vs-float compare stably against
+    # what a previous process wrote
+    return json.loads(json.dumps(fingerprint))
+
+
 def is_complete(stage_dir: str, fingerprint: dict) -> bool:
     try:
         with open(_manifest_path(stage_dir)) as f:
             m = json.load(f)
-        return m.get("fingerprint") == fingerprint
+        return m.get("fingerprint") == _normalize(fingerprint)
     except (OSError, json.JSONDecodeError):
         return False
 

@@ -1,0 +1,88 @@
+"""Salted / coordinated mining mode: exact oracle parity (including
+Lemma 3, which the subtree mode cannot use), shard-count invariance,
+and checkpoint resume."""
+
+import json
+import os
+
+import pytest
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.config import (
+    MiningConfig,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.oracle import (
+    mine_serial,
+    pattern_set,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.colocation import (
+    from_numpy,
+    mine_coordinated,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.fixtures import (
+    clustered_instances,
+    rare_feature_fixture,
+    sample_tiny,
+)
+
+
+def run_and_compare(ids, feats, x, y, d, mp, lemma3, n_shards, work_dir=None):
+    oracle = mine_serial(ids, feats, x, y, d, mp, use_lemma3=lemma3)
+    ds = from_numpy(ids, feats, x, y, parallelism=4)
+    run = mine_coordinated(
+        ds,
+        MiningConfig(neighbor_distance=d, min_prevalence=mp, use_lemma3=lemma3),
+        n_shards=n_shards,
+        work_dir=work_dir,
+    )
+    assert run.pattern_set() == pattern_set(oracle)
+    t = run.patterns_table()
+    om = {r["pattern"]: r for r in oracle["patterns"]}
+    for i in range(t.num_rows):
+        pat = tuple(t["pattern"][i].as_py().split(","))
+        o = om[pat]
+        assert abs(o["wpi"] - t["wpi"][i].as_py()) < 1e-12
+        assert o["n_rows"] == t["n_rows"][i].as_py()
+    return run
+
+
+@pytest.mark.parametrize("lemma3", [False, True])
+def test_sample_parity(ray_session, lemma3):
+    ids, feats, x, y = sample_tiny()
+    run_and_compare(ids, feats, x, y, 3.0, 0.4, lemma3, n_shards=3)
+
+
+def test_rare_fixture_with_lemma3(ray_session):
+    ids, feats, x, y = rare_feature_fixture()
+    run_and_compare(ids, feats, x, y, 5.0, 0.3, True, n_shards=7)
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 5, 16])
+def test_shard_count_invariance(ray_session, n_shards):
+    ids, feats, x, y = clustered_instances(700, seed=9)
+    run_and_compare(ids, feats, x, y, 10.0, 0.3, False, n_shards=n_shards)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    """Second run with the same work_dir must skip the join+star stages
+    (manifest hit) and produce identical output; a corrupted/partial
+    checkpoint (no manifest) is rebuilt from scratch."""
+    ids, feats, x, y = clustered_instances(500, seed=4)
+    wd = str(tmp_path / "ckpt")
+    run1 = run_and_compare(ids, feats, x, y, 10.0, 0.3, False, 4, work_dir=wd)
+    stage = os.path.join(wd, "shard_stars")
+    manifest = os.path.join(stage, "_MANIFEST.json")
+    assert os.path.exists(manifest)
+    stamp = os.path.getmtime(manifest)
+    # resume: same inputs -> stage skipped (manifest untouched)
+    run2 = run_and_compare(ids, feats, x, y, 10.0, 0.3, False, 4, work_dir=wd)
+    assert os.path.getmtime(manifest) == stamp
+    assert run1.pattern_set() == run2.pattern_set()
+    # simulate a crash mid-write: manifest missing -> stage recomputed
+    os.remove(manifest)
+    run3 = run_and_compare(ids, feats, x, y, 10.0, 0.3, False, 4, work_dir=wd)
+    assert os.path.exists(manifest)
+    assert run3.pattern_set() == run1.pattern_set()
+    # config change invalidates the fingerprint -> recompute, not reuse
+    with open(manifest) as f:
+        m = json.load(f)
+    assert m["fingerprint"]["d"] == 10.0
