@@ -230,6 +230,23 @@ def mine_coordinated(
     return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
 
 
+def write_results(run: MiningRun, out_dir: str) -> dict:
+    """Report sink (reference src/main.cpp:73-122): prevalent patterns as
+    parquet + a JSON report with the reference's fields (dataset size, d,
+    min_prev, wall time, pattern count, numbered pattern list). Unlike
+    the reference, the configured output path is honored
+    (src/main.cpp:84 hard-codes ../results.txt)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    run.patterns.write_parquet(os.path.join(out_dir, "patterns"))
+    report = run.report()
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
 def from_numpy(ids, feats, x, y, parallelism: int = 8) -> Dataset:
     """Build an instances Dataset from numpy arrays (tests/fixtures)."""
     t = pa.table(
