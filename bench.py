@@ -42,9 +42,14 @@ def image_fixture_dir(n_rows: int) -> str:
         write_image_fixture,
     )
 
-    d = f"/tmp/clpm_bench_images_{n_rows}"
+    # constant spatial density across scale factors: extent grows with
+    # sqrt(n) so per-point neighbor counts (and pattern depth) stay fixed
+    # and rows/sec is comparable between runs
+    extent = round(1000.0 * (n_rows / 10000.0) ** 0.5, 1)
+    d = f"/tmp/clpm_bench_images_{n_rows}_{extent}"
     return write_image_fixture(
-        d, n=n_rows, n_features=IMG_FEATURES, seed=23, shards=32
+        d, n=n_rows, n_features=IMG_FEATURES, seed=23, shards=32,
+        extent=extent,
     )
 
 
@@ -103,6 +108,26 @@ def run_bench() -> dict:
     )
     n_rows["colo_mine_images"] = n_events
     n_patterns = run.patterns_table().num_rows
+
+    # same pipeline through the salted / coordinated mode (skew-free path)
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.geotag import (
+        geotag,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.images import (
+        read_image_table,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.colocation import (
+        mine_coordinated,
+    )
+
+    run_s = timed(
+        "colo_mine_images_salted",
+        lambda: mine_coordinated(
+            geotag(read_image_table(img_dir)),
+            MiningConfig(neighbor_distance=IMG_D, min_prevalence=IMG_MIN_PREV),
+        ),
+    )
+    assert run_s.patterns_table().num_rows == n_patterns
 
     # events-derived k2 metrics (the SQL-oracled aggregate path)
     timed("colo_patterns_k2", lambda: q.q_patterns_k2(SF_DIR))

@@ -15,7 +15,12 @@ import numpy as np
 from .text import char_shingles
 
 MINHASH_PERMS = 128
-MINHASH_BANDS = 32  # 32 bands x 4 rows: P(candidate | j=0.7) ~ 0.9998
+# 16 bands x 8 rows: the LSH S-curve threshold (1/b)^(1/r) = 0.707 sits ON
+# the default verify threshold 0.7, so candidate volume stays ~ true-positive
+# volume even in corpora with high baseline similarity (32x4 put the knee at
+# 0.42 and drowned the verifier in candidates). Recall: ~0.9999 at j=0.9,
+# ~0.8 at j=0.75.
+MINHASH_BANDS = 16
 _MERSENNE = (1 << 61) - 1
 
 

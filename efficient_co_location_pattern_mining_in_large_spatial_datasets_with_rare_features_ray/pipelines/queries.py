@@ -82,12 +82,7 @@ def q_patterns_k2(sf_dir: str) -> pa.Table:
     return k2.k2_metrics(inst, _cfg(), _ctx(inst))
 
 
-def q_patterns_full(sf_dir: str) -> pa.Table:
-    """Full multi-level WPI mining (not SQL-expressible; rows-only check
-    in the driver -- exact conformance is pytest's engine-vs-oracle gate)."""
-    inst = instances_from_events(sf_dir)
-    run = colocation.mine(inst, _cfg())
-    t = run.patterns_table()
+def _patterns_out(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "pattern": t["pattern"],
@@ -97,6 +92,23 @@ def q_patterns_full(sf_dir: str) -> pa.Table:
             "n_rows": t["n_rows"],
         }
     ).sort_by([("k", "ascending"), ("pattern", "ascending")])
+
+
+def q_patterns_full(sf_dir: str) -> pa.Table:
+    """Full multi-level WPI mining, subtree-partitioned mode (not
+    SQL-expressible; rows-only check in the driver -- exact conformance
+    is pytest's engine-vs-oracle gate)."""
+    inst = instances_from_events(sf_dir)
+    run = colocation.mine(inst, _cfg())
+    return _patterns_out(run.patterns_table())
+
+
+def q_patterns_salted(sf_dir: str) -> pa.Table:
+    """Same mining via the root-instance-sharded (salted) coordinated
+    mode -- must emit the identical table as colo_patterns."""
+    inst = instances_from_events(sf_dir)
+    run = colocation.mine_coordinated(inst, _cfg())
+    return _patterns_out(run.patterns_table())
 
 
 # ----- DuckDB oracles -----------------------------------------------------
@@ -400,6 +412,7 @@ COLO_QUERIES = {
     "colo_star_sizes": q_star_sizes,
     "colo_patterns_k2": q_patterns_k2,
     "colo_patterns": q_patterns_full,
+    "colo_patterns_salted": q_patterns_salted,
 }
 
 COLO_SQL = {
