@@ -46,6 +46,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(_colo_q.COLO_QUERIES)
+    out.update(_colo_q.SPATIAL_QUERIES)
     out.update(_colo_q.DATA_QUERIES)
     return out
 
@@ -53,5 +54,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_colo_q.COLO_SQL)
+    out.update(_colo_q.SPATIAL_SQL)
     out.update(_colo_q.DATA_SQL)
     return out

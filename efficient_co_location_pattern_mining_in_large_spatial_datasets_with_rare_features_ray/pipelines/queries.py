@@ -210,6 +210,151 @@ SELECT pattern, k, n_rows,
 FROM met"""
 
 
+# ----- spatial utility operators (kNN / PIP / raster) ---------------------
+
+KNN_QUERY_IDS = ("0", "1", "2", "3", "4")
+KNN_K = 5
+RASTER_CELL = 50.0
+
+# axis-aligned regions at .5 offsets (integer point coords never sit on a
+# boundary, so ray-casting and BETWEEN agree exactly); first match wins
+PIP_RECTS = {
+    "r_a": (100.5, 100.5, 400.5, 400.5),
+    "r_b": (300.5, 300.5, 700.5, 650.5),
+    "r_c": (750.5, 50.5, 950.5, 250.5),
+}
+
+
+def q_knn(sf_dir: str) -> Dataset:
+    from ..stages import spatial_ops
+
+    inst = instances_from_events(sf_dir)
+    qset = set(KNN_QUERY_IDS)
+    qpts = inst.map_batches(
+        lambda df: df[df["instance_id"].isin(qset)].rename(
+            columns={"instance_id": "query_id"}
+        )[["query_id", "x", "y"]],
+        batch_format="pandas",
+    )
+    out = spatial_ops.knn(inst, qpts, k=KNN_K + 1)
+    # exclude the query point itself (dist 0 rank 1), rerank 1..k
+
+    def strip_self(t):
+        import pandas as pd
+
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        df = df[df["nbr_id"] != df["query_id"]].copy()
+        df["rank"] = df.groupby("query_id")["rank"].rank(method="first").astype("int32")
+        return df[df["rank"] <= KNN_K]
+
+    return out.map_batches(strip_self, batch_format="pandas")
+
+
+def q_pip(sf_dir: str) -> Dataset:
+    from ..stages import spatial_ops
+
+    polys = {
+        name: [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+        for name, (x1, y1, x2, y2) in PIP_RECTS.items()
+    }
+    return spatial_ops.tag_polygons(instances_from_events(sf_dir), polys)
+
+
+def q_rasterize(sf_dir: str) -> Dataset:
+    from ..stages import spatial_ops
+
+    return spatial_ops.rasterize(instances_from_events(sf_dir), RASTER_CELL)
+
+
+def q_raster_boxes(sf_dir: str) -> Dataset:
+    from ..stages import spatial_ops
+
+    r = spatial_ops.rasterize(instances_from_events(sf_dir), RASTER_CELL)
+    return spatial_ops.cells_to_boxes(r, RASTER_CELL)
+
+
+def q_events_windowed(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor("h")
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "window_start": w,
+             "n": 1, "sum_value": df["value"]}
+        ).groupby(["event_type", "window_start"], sort=False).sum().reset_index()
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        g["sum_value"] = np.round(g["sum_value"], 6)
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+_KNN_IDS_SQL = ", ".join(f"'{q}'" for q in KNN_QUERY_IDS)
+
+SQL_KNN = f"""WITH {_INST},
+q AS (SELECT * FROM inst WHERE instance_id IN ({_KNN_IDS_SQL})),
+sel AS (
+  SELECT q.instance_id AS query_id, i.instance_id AS nbr_id,
+         sqrt((q.x - i.x) * (q.x - i.x) + (q.y - i.y) * (q.y - i.y)) AS d,
+         row_number() OVER (
+           PARTITION BY q.instance_id
+           ORDER BY sqrt((q.x - i.x) * (q.x - i.x) + (q.y - i.y) * (q.y - i.y)),
+                    i.instance_id
+         ) AS rnk
+  FROM q JOIN inst i ON i.instance_id <> q.instance_id
+)
+SELECT query_id, nbr_id, round(d, 6) AS dist, CAST(rnk AS INTEGER) AS rank
+FROM sel WHERE rnk <= {KNN_K}"""
+
+_PIP_CASE = " ".join(
+    f"WHEN x > {x1} AND x < {x2} AND y > {y1} AND y < {y2} THEN '{name}'"
+    for name, (x1, y1, x2, y2) in PIP_RECTS.items()
+)
+
+SQL_PIP = f"""WITH {_INST}
+SELECT instance_id, CASE {_PIP_CASE} ELSE '' END AS polygon FROM inst"""
+
+SQL_RASTERIZE = f"""WITH {_INST}
+SELECT CAST(floor(x / {RASTER_CELL}) AS BIGINT) AS cell_x,
+       CAST(floor(y / {RASTER_CELL}) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(x) / count(*), 6) AS mean_x,
+       round(sum(y) / count(*), 6) AS mean_y
+FROM inst GROUP BY 1, 2"""
+
+SQL_RASTER_BOXES = f"""WITH {_INST},
+cells AS (
+  SELECT CAST(floor(x / {RASTER_CELL}) AS BIGINT) AS cell_x,
+         CAST(floor(y / {RASTER_CELL}) AS BIGINT) AS cell_y
+  FROM inst GROUP BY 1, 2
+)
+SELECT cell_x, cell_y,
+       cell_x * {RASTER_CELL} AS x_min, cell_y * {RASTER_CELL} AS y_min,
+       (cell_x + 1) * {RASTER_CELL} AS x_max, (cell_y + 1) * {RASTER_CELL} AS y_max
+FROM cells"""
+
+SQL_EVENTS_WINDOWED = """SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
 # ----- documents / embeddings (training-data ops) -------------------------
 
 def _docs(sf_dir: str) -> Dataset:
@@ -376,6 +521,22 @@ JOIN norms na ON na.vec_id = d.a
 JOIN norms nb ON nb.vec_id = d.b
 WHERE d.dot / (na.nrm * nb.nrm) >= {NEARDUP_TAU}"""
 
+
+SPATIAL_QUERIES = {
+    "colo_knn": q_knn,
+    "colo_point_in_polygon": q_pip,
+    "colo_rasterize": q_rasterize,
+    "colo_raster_boxes": q_raster_boxes,
+    "events_windowed": q_events_windowed,
+}
+
+SPATIAL_SQL = {
+    "colo_knn": SQL_KNN,
+    "colo_point_in_polygon": SQL_PIP,
+    "colo_rasterize": SQL_RASTERIZE,
+    "colo_raster_boxes": SQL_RASTER_BOXES,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+}
 
 DATA_QUERIES = {
     "doc_quality": q_doc_quality,

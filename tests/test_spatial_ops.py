@@ -1,0 +1,101 @@
+"""Spatial utility operators: kNN vs brute force, general-polygon PIP
+vs a direct check, raster round trip, quadkey hierarchy."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.colocation import (
+    from_numpy,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.fixtures import (
+    clustered_instances,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.stages.spatial_ops import (
+    cells_to_boxes,
+    knn,
+    point_in_polygon,
+    quadkey,
+    rasterize,
+    tag_polygons,
+)
+
+
+@pytest.fixture(scope="module")
+def points():
+    return clustered_instances(400, seed=21, extent=(500.0, 500.0))
+
+
+def test_knn_matches_bruteforce(ray_session, points):
+    ids, feats, x, y = points
+    inst = from_numpy(ids, feats, x, y, parallelism=3)
+    qids = [str(ids[i]) for i in (0, 37, 250)]
+    qdf = ray.data.from_items(
+        [
+            {"query_id": str(ids[i]), "x": float(x[i]), "y": float(y[i])}
+            for i in (0, 37, 250)
+        ]
+    )
+    got = knn(inst, qdf, k=6, cell=40.0).take_all()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["nbr_id"], r["dist"]))
+    for qi in (0, 37, 250):
+        dx = x - x[qi]
+        dy = y - y[qi]
+        d = np.sqrt(dx * dx + dy * dy)
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))[:6]
+        want = [(rank + 1, str(ids[j]), round(float(d[j]), 6))
+                for rank, j in enumerate(order)]
+        assert sorted(by_q[str(ids[qi])]) == want
+
+
+def test_point_in_polygon_general():
+    # non-convex polygon (arrow shape)
+    poly = [(0.0, 0.0), (4.0, 0.0), (2.0, 2.0), (4.0, 4.0), (0.0, 4.0)]
+    xs = np.array([1.0, 3.5, 2.9, -1.0, 3.0])
+    ys = np.array([2.0, 2.0, 0.5, 2.0, 3.9])
+    got = point_in_polygon(xs, ys, poly)
+    # (3.5, 2.0) is inside the notch -> outside the polygon
+    assert got.tolist() == [True, False, True, False, True]
+
+
+def test_tag_polygons_first_match(ray_session, points):
+    ids, feats, x, y = points
+    inst = from_numpy(ids, feats, x, y, parallelism=2)
+    polys = {
+        "tri": [(0.5, 0.5), (400.5, 0.5), (0.5, 400.5)],
+        "all": [(-1.0, -1.0), (501.0, -1.0), (501.0, 501.0), (-1.0, 501.0)],
+    }
+    rows = tag_polygons(inst, polys).take_all()
+    tags = {r["instance_id"]: r["polygon"] for r in rows}
+    for i in range(len(ids)):
+        in_tri = point_in_polygon(
+            np.array([x[i]]), np.array([y[i]]), polys["tri"]
+        )[0]
+        assert tags[str(ids[i])] == ("tri" if in_tri else "all")
+
+
+def test_raster_roundtrip(ray_session, points):
+    ids, feats, x, y = points
+    inst = from_numpy(ids, feats, x, y, parallelism=2)
+    r = rasterize(inst, 100.0)
+    rows = r.take_all()
+    assert sum(row["n"] for row in rows) == len(ids)
+    for row in rows:
+        assert row["cell_x"] * 100.0 <= row["mean_x"] < (row["cell_x"] + 1) * 100.0
+    boxes = cells_to_boxes(rasterize(inst, 100.0), 100.0).take_all()
+    assert len(boxes) == len(rows)
+    assert all(b["x_max"] - b["x_min"] == 100.0 for b in boxes)
+
+
+def test_quadkey_hierarchy():
+    cx = np.array([0, 1, 2, 3, 7], np.int64)
+    cy = np.array([0, 1, 1, 2, 5], np.int64)
+    q3 = quadkey(cx, cy, 3)
+    q2 = quadkey(cx >> 1, cy >> 1, 2)
+    # parent relation: level-(L-1) key of the parent cell == key >> 2
+    assert np.array_equal(q3 >> 2, q2)
+    # distinct cells -> distinct keys at sufficient level
+    assert len(set(q3.tolist())) == 5
