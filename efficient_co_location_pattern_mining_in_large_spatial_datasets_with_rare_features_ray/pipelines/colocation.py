@@ -179,33 +179,69 @@ def mine_coordinated(
         origin = origin or scanned_origin
     total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     if n_shards is None:
-        n_shards = max(8, 4 * total_cpus)  # fine-grained for balance
-    work_dir = work_dir or tempfile.mkdtemp(prefix="clpm_shards_")
+        # constant, cluster-size-independent: star replication depends on
+        # n_shards (one copy per distinct in-neighbor shard), so tying it
+        # to CPU count would make bigger clusters do MORE work
+        n_shards = 64
 
+    # one actor per core, each owning n_shards/n_actors shards: actor
+    # processes are expensive to start; shard hashing does the balancing.
+    # Created BEFORE the star job so process spawn + imports overlap the
+    # Dataset work instead of serializing after it.
+    n_actors = max(1, min(total_cpus, n_shards))
+    owned: list[list[int]] = [[] for _ in range(n_actors)]
+    for s in range(n_shards):
+        owned[s % n_actors].append(s)
+    actors = [
+        ShardMiner.options(num_cpus=0).remote(ctx, shards, n_shards)
+        for shards in owned
+    ]
+
+    use_checkpoint = work_dir is not None or cfg.checkpoint_dir is not None
+    work_dir = work_dir or cfg.checkpoint_dir or tempfile.mkdtemp(prefix="clpm_shards_")
     fingerprint = {
         "d": cfg.neighbor_distance,
         "n_shards": n_shards,
         "counts": sorted(ctx.counts.items()),
     }
     stage_dir = f"{work_dir}/shard_stars"
-    if not is_complete(stage_dir, fingerprint):
+
+    def build_stars_ds():
+        nonlocal origin
         if origin is None:
             origin = global_origin(instances)
         pairs = neighbor_pairs(instances, cfg, origin=origin)
-        stars = build_shard_stars(pairs, ctx, n_shards, cfg.star_buckets)
-        checkpoint_dataset(stars, stage_dir, fingerprint, partition_cols=["shard"])
+        return build_shard_stars(pairs, ctx, n_shards, cfg.star_buckets)
 
-    # one actor per core, each owning n_shards/n_actors shards: actor
-    # processes are expensive to start; shard hashing does the balancing
-    n_actors = max(1, min(total_cpus, n_shards))
-    owned: list[list[int]] = [[] for _ in range(n_actors)]
-    for s in range(n_shards):
-        owned[s % n_actors].append(s)
-    actors = [
-        ShardMiner.remote(ctx, shards, n_shards) for shards in owned
-    ]
     try:
-        ray.get([a.load.remote(stage_dir) for a in actors])
+        if use_checkpoint:
+            if not is_complete(stage_dir, fingerprint):
+                checkpoint_dataset(
+                    build_stars_ds(), stage_dir, fingerprint,
+                    partition_cols=["shard"],
+                )
+            ray.get([a.load.remote(stage_dir) for a in actors])
+        else:
+            # in-memory: skip the parquet round trip. One parallel pass
+            # splits each star block by shard (num_returns objects), then
+            # every actor fetches only its own slices.
+            from ..stages.sharded import split_block
+
+            refs = build_stars_ds().materialize().to_arrow_refs()
+            grids = [
+                split_block.options(num_returns=n_shards).remote(r, n_shards)
+                for r in refs
+            ]
+            if n_shards == 1:  # num_returns=1 yields a bare ref
+                grids = [[g] for g in grids]
+            ray.get(
+                [
+                    a.load_split.remote(
+                        [grids[b][s] for b in range(len(grids)) for s in shards]
+                    )
+                    for a, shards in zip(actors, owned)
+                ]
+            )
         recs = coordinated_level_loop(
             actors, ctx, cfg.min_prevalence, cfg.use_lemma3, cfg.measure
         )

@@ -131,6 +131,9 @@ def build_shard_stars(
     return edges.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+MAX_K = 64  # slot-id packing factor (pattern size never approaches this)
+
+
 @ray.remote
 class ShardMiner:
     """Holds the star index and row-instance tables for one or more
@@ -148,9 +151,7 @@ class ShardMiner:
         self.ids: np.ndarray | None = None
 
     def load(self, star_dir: str) -> int:
-        """Read this actor's shard partitions and build the local index
-        + T1 (roots = instances hashed to any owned shard). A star
-        replicated into two owned shards collapses to one index entry."""
+        """Read this actor's shard partitions (parquet checkpoint path)."""
         import glob
 
         import pyarrow.parquet as pq
@@ -161,7 +162,43 @@ class ShardMiner:
         if not parts:
             self.ids = np.empty(0, dtype=object)
             return 0
-        t = pa.concat_tables([pq.read_table(p) for p in parts])
+        return self._build(pa.concat_tables([pq.read_table(p) for p in parts]))
+
+    def load_refs(self, refs: list) -> int:
+        """In-memory path: scan the shared star blocks (zero-copy plasma
+        reads on one node) and keep only this actor's shards. Multi-node
+        deployments should prefer the partitioned-parquet path, which
+        reads only the owned partitions."""
+        own = list(set(self.shards))
+        kept = []
+        for ref in refs:
+            t = ray.get(ref)
+            if isinstance(t, pd.DataFrame):  # groupby stages emit pandas blocks
+                if t.empty or "shard" not in t.columns:
+                    continue
+                t = pa.Table.from_pandas(t, schema=SHARD_STAR_SCHEMA,
+                                         preserve_index=False)
+            if t.num_rows == 0 or "shard" not in t.column_names:
+                continue
+            mask = np.isin(t["shard"].to_numpy(zero_copy_only=False), own)
+            if mask.any():
+                kept.append(t.filter(pa.array(mask)))
+        if not kept:
+            self.ids = np.empty(0, dtype=object)
+            return 0
+        return self._build(pa.concat_tables(kept))
+
+    def load_split(self, sub_refs: list) -> int:
+        """Load pre-split sub-tables (one per (block, owned shard)) --
+        each actor fetches ONLY its own rows; the splitting pass ran
+        once, in parallel, over the blocks (split_block below)."""
+        kept = [t for t in ray.get(list(sub_refs)) if t.num_rows]
+        if not kept:
+            self.ids = np.empty(0, dtype=object)
+            return 0
+        return self._build(pa.concat_tables(kept))
+
+    def _build(self, t: pa.Table) -> int:
         center_ids = t["center_id"].to_numpy(zero_copy_only=False)
         center_feats = t["center_feature"].to_numpy(zero_copy_only=False)
         nbr_feats = t["nbr_feature"].to_numpy(zero_copy_only=False)
@@ -206,9 +243,95 @@ class ShardMiner:
         self.tables = new_tables
         return out
 
+    def expand_partitioned(
+        self, candidates: list[tuple[str, ...]], n_reducers: int
+    ) -> list:
+        """Like expand(), but the distinct-participant payload is hash-
+        partitioned by instance id into n_reducers object refs so the
+        exact-distinct union runs as a parallel reduce (no sketches, no
+        driver loop over raw ids). Keys are globally consistent ints
+        (candidate_index * MAX_K + slot -- every shard receives the same
+        candidates list), so reducers need no key translation."""
+        new_tables = expand_tables(candidates, self.tables, self.index)
+        counts: dict[int, int] = {}
+        key_chunks: list[np.ndarray] = []
+        id_chunks: list[np.ndarray] = []
+        cand_index = {c: j for j, c in enumerate(candidates)}
+        for cand, rows in new_tables.items():
+            j = cand_index[cand]
+            counts[j] = int(rows.shape[0])
+            for i in range(rows.shape[1]):
+                ids = self.ids[np.unique(rows[:, i])]
+                key_chunks.append(
+                    np.full(ids.size, j * MAX_K + i, dtype=np.int64)
+                )
+                id_chunks.append(ids)
+        self.tables = new_tables
+        if id_chunks:
+            ids_all = np.concatenate(id_chunks)
+            keys_all = np.concatenate(key_chunks)
+            h = pd.util.hash_array(ids_all, categorize=False) % np.uint64(
+                n_reducers
+            )
+            refs = []
+            for r in range(n_reducers):
+                m = h == r
+                refs.append(ray.put((keys_all[m], ids_all[m])))
+        else:
+            empty = (np.empty(0, np.int64), np.empty(0, dtype=object))
+            refs = [ray.put(empty) for _ in range(n_reducers)]
+        return [refs, counts]
+
     def prune_tables(self, keep: list[tuple[str, ...]]) -> None:
         keep_set = set(keep)
         self.tables = {p: t for p, t in self.tables.items() if p in keep_set}
+
+
+@ray.remote
+def split_block(t, n_shards: int):
+    """One parallel pass per star block: sort by shard, slice into
+    n_shards sub-tables returned as separate objects (num_returns) so
+    each ShardMiner pulls only its own slices. With n_shards == 1 the
+    single return value is the table itself (num_returns=1 semantics)."""
+    if n_shards == 1:
+        if isinstance(t, pd.DataFrame):
+            if t.empty or "shard" not in t.columns:
+                return SHARD_STAR_SCHEMA.empty_table()
+            return pa.Table.from_pandas(t, schema=SHARD_STAR_SCHEMA,
+                                        preserve_index=False)
+        if "shard" not in t.column_names:
+            return SHARD_STAR_SCHEMA.empty_table()
+        return t
+    if isinstance(t, pd.DataFrame):
+        if t.empty or "shard" not in t.columns:
+            empty = SHARD_STAR_SCHEMA.empty_table()
+            return tuple(empty for _ in range(n_shards))
+        t = pa.Table.from_pandas(t, schema=SHARD_STAR_SCHEMA,
+                                 preserve_index=False)
+    if t.num_rows == 0 or "shard" not in t.column_names:
+        empty = SHARD_STAR_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_shards))
+    sh = t["shard"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sh, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(sh[order], np.arange(n_shards + 1))
+    return tuple(
+        t.slice(bounds[s], bounds[s + 1] - bounds[s])
+        for s in range(n_shards)
+    )
+
+
+@ray.remote
+def reduce_distinct(*parts) -> dict:
+    """Exact per-key distinct count over this reducer's hash range:
+    vectorized pandas drop_duplicates (C-speed hash dedupe, no Python
+    per-id loop)."""
+    keys = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    if not len(keys):
+        return {}
+    df = pd.DataFrame({"k": keys, "id": ids}).drop_duplicates()
+    return df.groupby("k").size().to_dict()
 
 
 def coordinated_level_loop(
@@ -255,22 +378,33 @@ def coordinated_level_loop(
             candidates = kept
             if not candidates:
                 break
-        shard_outs = ray.get([a.expand.remote(candidates) for a in actors])
-        # exact distinct union across shards, per (pattern, slot)
-        merged: dict[tuple[str, ...], tuple[list[set], int]] = {}
-        for so in shard_outs:
-            for cand, (slots, nrows) in so.items():
-                if cand not in merged:
-                    merged[cand] = ([set() for _ in cand], 0)
-                msets, mn = merged[cand]
-                for i, ids in enumerate(slots):
-                    msets[i].update(ids.tolist())
-                merged[cand] = (msets, mn + nrows)
+        n_red = max(4, len(actors) // 2)
+        outs = ray.get(
+            [a.expand_partitioned.remote(candidates, n_red) for a in actors]
+        )
+        # exact distinct, reduced in parallel: reducer r sees only the ids
+        # hashed into its range, across all shards (no sketches)
+        row_counts: dict[int, int] = {}
+        for _, counts_ in outs:
+            for j, n in counts_.items():
+                row_counts[j] = row_counts.get(j, 0) + n
+        red_results = ray.get(
+            [
+                reduce_distinct.remote(*[refs[r] for refs, _ in outs])
+                for r in range(n_red)
+            ]
+        )
+        dist_counts: dict[int, int] = {}
+        for rr in red_results:
+            for key, n in rr.items():
+                dist_counts[key] = dist_counts.get(key, 0) + n
+
+        mk = MAX_K
         prev_prevalent = []
         prev_pi = {}
-        for cand in candidates:
-            msets, nrows = merged.get(cand, ([set() for _ in cand], 0))
-            dist = [len(s) for s in msets]
+        for j, cand in enumerate(candidates):
+            nrows = row_counts.get(j, 0)
+            dist = [dist_counts.get(j * mk + i, 0) for i in range(len(cand))]
             m = select_metrics(cand, dist, ctx)
             prev_pi[cand] = m["pi"]
             score = m["wpi"] if measure == "wpi" else m["pi"]
@@ -282,6 +416,11 @@ def coordinated_level_loop(
                 )
         if not prev_prevalent:
             break
+        # drop non-prevalent tables on the actors (the next level only
+        # expands prefixes from P_k -- same invariant as src/miner.cpp:94
+        # where only gen_candidates' prefixes are ever looked up)
+        for a in actors:
+            a.prune_tables.remote(prev_prevalent)
         candidates = gen_candidates(prev_prevalent, ctx)
         k += 1
     return results
