@@ -33,8 +33,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # constant-density clustered layout): dense enough for multi-level
 # patterns (max k ~ 6), bounded row-instance growth
 IMG_FEATURES = 40
-IMG_D = 7.0          # headline (coordinated/salted mode)
-IMG_D_SUBTREE = 6.0  # secondary run of the streaming subtree mode
+IMG_D = 6.0          # headline (streaming subtree mode, paper Alg. 3)
+IMG_D_SALTED = 7.0   # secondary: salted/coordinated mode on a heavier d
 IMG_MIN_PREV = 0.3
 
 
@@ -109,25 +109,27 @@ def run_bench() -> dict:
         mine_coordinated,
     )
 
-    # headline: flagship image-table mining via the salted/coordinated
-    # mode (root-instance shards; skew-free, exact-distinct PR reduce)
+    # headline: flagship image-table mining via the streaming subtree
+    # mode (paper Alg. 3: geotag -> grid join -> ordered stars -> per-
+    # subtree level loop; single pass, no driver sync)
     run = timed(
         "colo_mine_images",
-        lambda: mine_coordinated(
-            geotag(read_image_table(img_dir)),
+        lambda: multimodal.mine_image_table(
+            img_dir,
             MiningConfig(neighbor_distance=IMG_D, min_prevalence=IMG_MIN_PREV),
         ),
     )
     n_rows["colo_mine_images"] = n_events
     n_patterns = run.patterns_table().num_rows
 
-    # secondary: the streaming subtree mode (paper Alg. 3) on a lighter d
+    # secondary: salted/coordinated mode (root-instance shards, exact-
+    # distinct PR reduce, checkpoint-resumable) on a heavier neighborhood
     run_s = timed(
-        "colo_mine_images_subtree",
-        lambda: multimodal.mine_image_table(
-            img_dir,
+        "colo_mine_images_salted",
+        lambda: mine_coordinated(
+            geotag(read_image_table(img_dir)),
             MiningConfig(
-                neighbor_distance=IMG_D_SUBTREE, min_prevalence=IMG_MIN_PREV
+                neighbor_distance=IMG_D_SALTED, min_prevalence=IMG_MIN_PREV
             ),
         ),
     )
@@ -187,6 +189,12 @@ def run_scaling() -> dict:
     r_lo = one(lo)
     r_hi = one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    def q_eff(name: str) -> float:
+        return round(
+            (r_lo["queries"][name] / r_hi["queries"][name]) / (hi / lo), 3
+        )
+
     return {
         "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
         "sec_8": r_lo["value"],
@@ -194,6 +202,7 @@ def run_scaling() -> dict:
         "rows_per_sec_8": r_lo["rows_per_sec"],
         "rows_per_sec_32": r_hi["rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_salted": q_eff("colo_mine_images_salted"),
         "sf": SF_DIR,
         "queries_8": r_lo["queries"],
         "queries_32": r_hi["queries"],
