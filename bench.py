@@ -122,6 +122,21 @@ def run_bench() -> dict:
     n_rows["colo_mine_images"] = n_events
     n_patterns = run.patterns_table().num_rows
 
+    # fresh Ray session per heavyweight section: leftover executor/object
+    # state from a prior big job was measured to slow every later job in
+    # the same session by 2-4x at high core counts
+    def fresh_session():
+        ray.shutdown()
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        c = DataContext.get_current()
+        c.enable_progress_bars = False
+        c.execution_options.verbose_progress = False
+
+    fresh_session()
+
     # secondary: salted/coordinated mode (root-instance shards, exact-
     # distinct PR reduce, checkpoint-resumable) on a heavier neighborhood
     run_s = timed(
@@ -134,6 +149,8 @@ def run_bench() -> dict:
         ),
     )
     assert run_s.patterns_table().num_rows > 0
+
+    fresh_session()
 
     # events-derived k2 metrics (the SQL-oracled aggregate path)
     timed("colo_patterns_k2", lambda: q.q_patterns_k2(SF_DIR))
