@@ -63,6 +63,9 @@ def decode_png(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(
