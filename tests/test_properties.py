@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure kernels, plus the
+PNG-CRC corruption regression."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.canonical import (
+    FeatureContext,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.dedup import (
+    minhash_signature,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.text import (
+    char_shingles,
+    jaccard,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.oracle import (
+    mine_serial,
+    pattern_set,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.image_codec import (
+    decode_png,
+    deterministic_pixels,
+    encode_png,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.images import (
+    pack_phash,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.geotag import (
+    unpack_phash,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.stages.spatial_ops import (
+    quadkey,
+)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="ABCDEFGH", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=1000),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonical_order_total_and_stable(counts):
+    ctx = FeatureContext(counts)
+    # total order, count-ascending with lex tiebreak
+    for a, b in zip(ctx.order, ctx.order[1:]):
+        assert (counts[a], a) < (counts[b], b)
+    # is_ordered agrees with the order for distinct features
+    for i, a in enumerate(ctx.order):
+        for b in ctx.order[i + 1 :]:
+            assert ctx.is_ordered(a, b) and not ctx.is_ordered(b, a)
+
+
+@given(
+    st.floats(min_value=0, max_value=4_000_000, allow_nan=False),
+    st.floats(min_value=0, max_value=4_000_000, allow_nan=False),
+)
+def test_phash_roundtrip_millimeter_grid(x, y):
+    qx, qy = round(x * 1000) / 1000.0, round(y * 1000) / 1000.0
+    ux, uy = unpack_phash(np.array([pack_phash(qx, qy)]))
+    assert ux[0] == pytest.approx(qx, abs=5e-4)
+    assert uy[0] == pytest.approx(qy, abs=5e-4)
+
+
+@given(st.integers(min_value=0, max_value=2**20 - 1),
+       st.integers(min_value=0, max_value=2**20 - 1))
+def test_quadkey_parent_relation(cx, cy):
+    a = np.array([cx], np.int64)
+    b = np.array([cy], np.int64)
+    assert quadkey(a, b, 20)[0] >> 2 == quadkey(a >> 1, b >> 1, 19)[0]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(min_size=20, max_size=200), st.text(min_size=20, max_size=200))
+def test_minhash_estimate_tracks_jaccard(t1, t2):
+    s1, s2 = minhash_signature(t1), minhash_signature(t2)
+    est = float(np.mean(s1 == s2))
+    true = jaccard(char_shingles(t1), char_shingles(t2))
+    assert abs(est - true) < 0.35  # 128 perms -> s.e. ~ 0.044, generous bound
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=12))
+def test_png_roundtrip_random_dims(w, h):
+    px = deterministic_pixels(f"P{w}x{h}", w, h)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_crc_corruption_detected():
+    """Regression: a flipped byte anywhere in the stream (including the
+    CRC fields the decoder previously ignored) must fail decode."""
+    px = deterministic_pixels("C1", 8, 8)
+    data = encode_png(px)
+    detected = 0
+    for pos in range(12, len(data), 7):
+        blob = bytearray(data)
+        blob[pos] ^= 0xFF
+        try:
+            out = decode_png(bytes(blob))
+            if not np.array_equal(out, px):
+                detected += 1  # content changed -> PSNR check would catch it
+        except Exception:
+            detected += 1
+    total = len(range(12, len(data), 7))
+    assert detected == total, f"{total - detected} corruptions undetected"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_oracle_row_order_invariance(seed):
+    rng = np.random.default_rng(seed)
+    n = 60
+    feats = rng.choice(list("ABCD"), size=n)
+    ids = np.array([f"{f}{i}" for i, f in enumerate(feats)], dtype=object)
+    x = rng.integers(0, 40, size=n).astype(float)
+    y = rng.integers(0, 40, size=n).astype(float)
+    r1 = mine_serial(ids, feats.astype(object), x, y, 5.0, 0.3)
+    perm = rng.permutation(n)
+    r2 = mine_serial(ids[perm], feats[perm].astype(object), x[perm], y[perm], 5.0, 0.3)
+    assert pattern_set(r1) == pattern_set(r2)
