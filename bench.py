@@ -103,6 +103,7 @@ def run_bench() -> dict:
         geotag,
     )
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.images import (
+        GEOTAG_COLUMNS,
         read_image_table,
     )
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.colocation import (
@@ -142,7 +143,7 @@ def run_bench() -> dict:
     run_s = timed(
         "colo_mine_images_salted",
         lambda: mine_coordinated(
-            geotag(read_image_table(img_dir)),
+            geotag(read_image_table(img_dir, columns=GEOTAG_COLUMNS)),
             MiningConfig(
                 neighbor_distance=IMG_D_SALTED, min_prevalence=IMG_MIN_PREV
             ),

@@ -62,10 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.image_table:
         if args.mode == "salted":
             from .sources.geotag import geotag
-            from .sources.images import read_image_table
+            from .sources.images import GEOTAG_COLUMNS, read_image_table
 
             run = colocation.mine_coordinated(
-                geotag(read_image_table(args.input)), cfg
+                geotag(read_image_table(args.input, columns=GEOTAG_COLUMNS)),
+                cfg,
             )
         else:
             run = multimodal.mine_image_table(

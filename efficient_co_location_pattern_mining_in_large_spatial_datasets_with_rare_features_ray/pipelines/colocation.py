@@ -81,6 +81,7 @@ class MiningRun:
     config: MiningConfig
     seconds: float
     n_instances: int | None = None
+    stage_stats: str | None = None  # ds.stats() of the executed DAG
 
     def patterns_table(self) -> pa.Table:
         refs = self.patterns.to_arrow_refs()
@@ -142,7 +143,14 @@ def mine(
     # sort() is the consuming barrier; time to here covers the whole DAG
     patterns = patterns.materialize()
     secs = time.perf_counter() - t0
-    return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
+    try:
+        stats = patterns.stats()
+    except Exception:
+        stats = None
+    return MiningRun(
+        patterns=patterns, ctx=ctx, config=cfg, seconds=secs,
+        stage_stats=stats,
+    )
 
 
 def mine_coordinated(
@@ -281,6 +289,10 @@ def write_results(run: MiningRun, out_dir: str) -> dict:
     report = run.report()
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
+    if run.stage_stats:
+        # per-stage wall/cpu/memory breakdown from the streaming executor
+        with open(os.path.join(out_dir, "stage_stats.txt"), "w") as f:
+            f.write(run.stage_stats)
     return report
 
 

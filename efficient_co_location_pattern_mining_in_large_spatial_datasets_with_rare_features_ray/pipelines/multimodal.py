@@ -119,13 +119,17 @@ def mine_image_table(
     image+caption table -> geotag projection (bytes dropped before any
     shuffle) -> grid distance join -> ordered stars -> per-subtree WPI
     mining."""
-    images = read_image_table(path)
     if verify_invariants:
-        bad = check_invariants(images).filter(
+        # invariant pass needs the pixels; run it on a full read first
+        bad = check_invariants(read_image_table(path)).filter(
             lambda r: not r["invariant_ok"]
         )
         n_bad = bad.count()
         if n_bad:
             raise ValueError(f"{n_bad} rows violate image invariants")
-    instances = geotag(images)
+    # mining path: prune at the read -- the wide `bytes` column never
+    # leaves storage, let alone enters a shuffle
+    from ..sources.images import GEOTAG_COLUMNS
+
+    instances = geotag(read_image_table(path, columns=GEOTAG_COLUMNS))
     return colocation.mine(instances, cfg or MiningConfig())

@@ -118,14 +118,18 @@ def write_image_fixture(
     return out_dir
 
 
-def read_image_table(path: str):
+def read_image_table(path: str, columns: list[str] | None = None):
     """Dataset over the image table; prefers Lance when available
-    (input_hint names Lance), falls back to Parquet."""
+    (input_hint names Lance), falls back to Parquet. Pass ``columns`` to
+    prune at the read -- the mining path must never load ``bytes``."""
     import ray.data
 
     try:  # pragma: no cover - lance not present in this sandbox
         import lance  # noqa: F401
 
-        return ray.data.read_lance(path)
+        return ray.data.read_lance(path, columns=columns)
     except ImportError:
-        return ray.data.read_parquet(path)
+        return ray.data.read_parquet(path, columns=columns)
+
+
+GEOTAG_COLUMNS = ["image_id", "caption", "phash"]  # all the miner needs
