@@ -239,17 +239,6 @@ class ShardMiner:
         }
         return int(len(center_ids))
 
-    def expand(self, candidates: list[tuple[str, ...]]) -> dict:
-        """genTableInstance for this level over local roots; returns
-        per-candidate (slot -> distinct participant GLOBAL ids, row count)."""
-        new_tables = expand_tables(candidates, self.tables, self.index)
-        out: dict[tuple[str, ...], tuple[list[np.ndarray], int]] = {}
-        for cand, rows in new_tables.items():
-            slots = [self.ids[np.unique(rows[:, i])] for i in range(rows.shape[1])]
-            out[cand] = (slots, int(rows.shape[0]))
-        self.tables = new_tables
-        return out
-
     def expand_partitioned(
         self, candidates: list[tuple[str, ...]], n_reducers: int
     ) -> list:
