@@ -538,7 +538,14 @@ SPATIAL_SQL = {
     "events_windowed": SQL_EVENTS_WINDOWED,
 }
 
+def q_corpus_clean(sf_dir: str) -> pa.Table:
+    from . import corpus
+
+    return corpus.clean_corpus(_docs(sf_dir))
+
+
 DATA_QUERIES = {
+    "corpus_clean": q_corpus_clean,
     "doc_quality": q_doc_quality,
     "token_totals": q_token_totals,
     "doc_langid": q_langid,

@@ -1,0 +1,51 @@
+"""End-to-end corpus cleaning: quality gate, exact-dup, near-dup
+component resolution, deterministic keep rules."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.corpus import (
+    _union_find_components,
+    clean_corpus,
+)
+
+
+def test_union_find_components():
+    roots = _union_find_components([(1, 2), (2, 3), (10, 11), (5, 5)])
+    assert roots[1] == roots[2] == roots[3] == 1
+    assert roots[10] == roots[11] == 10
+
+
+def test_clean_corpus_end_to_end(ray_session):
+    rng = np.random.default_rng(1)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    # 20 good unique docs
+    for i in range(20):
+        rows.append((i, " ".join(rng.choice(vocab, size=50)), "en", "s0"))
+    # short doc -> quality drop
+    rows.append((100, "too short", "en", "s0"))
+    # exact duplicate of doc 3 -> exact_dup drop (higher id loses)
+    rows.append((101, rows[3][1], "en", "s1"))
+    # near duplicate of doc 7 (1-word change) -> near_dup drop
+    w = rows[7][1].split(); w[10] = "changed"
+    rows.append((102, " ".join(w), "en", "s1"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    docs = ray.data.from_pandas(df).repartition(3)
+
+    out = clean_corpus(docs, min_words=20, neardup_threshold=0.7)
+    res = {d: (k, r) for d, k, r in zip(
+        out["doc_id"].to_pylist(), out["kept"].to_pylist(),
+        out["reason"].to_pylist())}
+    assert len(res) == len(rows)
+    assert res[100] == (False, "quality")
+    assert res[101] == (False, "exact_dup")
+    assert res[3] == (True, "")       # smaller id of the exact pair kept
+    assert res[102] == (False, "near_dup")
+    assert res[7] == (True, "")       # smaller id of the near pair kept
+    assert sum(1 for k, _ in res.values() if k) == 20
+    # deterministic across runs
+    out2 = clean_corpus(docs, min_words=20, neardup_threshold=0.7)
+    assert out.to_pydict() == out2.to_pydict()
