@@ -86,3 +86,28 @@ def test_checkpoint_resume(ray_session, tmp_path):
     with open(manifest) as f:
         m = json.load(f)
     assert m["fingerprint"]["d"] == 10.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_modes_agree_on_random_data(ray_session, seed):
+    """The two distributed modes (subtree-partitioned, root-sharded) must
+    emit identical pattern tables on arbitrary inputs."""
+    import numpy as np
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.colocation import (
+        mine,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 800
+    feats = rng.choice([f"F{i}" for i in range(9)], size=n,
+                       p=np.array([20, 14, 12, 11, 11, 11, 9, 7, 5]) / 100)
+    ids = np.array([f"{f}_{i}" for i, f in enumerate(feats)], dtype=object)
+    x = rng.integers(0, 300, size=n).astype(float)
+    y = rng.integers(0, 300, size=n).astype(float)
+    ds = from_numpy(ids, feats.astype(object), x, y, parallelism=4)
+    cfg = MiningConfig(neighbor_distance=12.0, min_prevalence=0.25)
+    a = mine(ds, cfg).patterns_table()
+    b = mine_coordinated(ds, cfg, n_shards=13).patterns_table()
+    cols = ["pattern", "k", "wpi", "pi", "n_rows"]
+    assert a.select(cols).to_pydict() == b.select(cols).to_pydict()
