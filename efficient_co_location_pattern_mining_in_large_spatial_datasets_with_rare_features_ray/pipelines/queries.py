@@ -304,6 +304,61 @@ def q_events_windowed(sf_dir: str) -> Dataset:
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessions(sf_dir: str) -> Dataset:
+    """Sessionization: per user, order events by (ts, event_id) and cut a
+    new session whenever the gap to the previous event exceeds
+    SESSION_GAP_MIN minutes. Stream-shaped op per the Ray guide: events
+    treated as a keyed, ts-sorted log; windows computed per user group
+    with vectorized pandas."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        new = df["ts"].diff() > gap
+        # NaT > gap is False (not NaN), so set the first row explicitly
+        new.iloc[0] = True
+        df["session_id"] = new.cumsum().astype(np.int64)
+        g = df.groupby("session_id", sort=True).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        ).reset_index()
+        g.insert(0, "user_id", df["user_id"].iloc[0])
+        return g
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = f"""WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id"""
+
+
 _KNN_IDS_SQL = ", ".join(f"'{q}'" for q in KNN_QUERY_IDS)
 
 SQL_KNN = f"""WITH {_INST},
@@ -441,6 +496,12 @@ def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
+    from . import similarity
+
+    return similarity.ivf_topk(_embeddings(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
 def q_embed_neardup(sf_dir: str) -> pa.Table:
     from . import similarity
 
@@ -528,9 +589,11 @@ SPATIAL_QUERIES = {
     "colo_rasterize": q_rasterize,
     "colo_raster_boxes": q_raster_boxes,
     "events_windowed": q_events_windowed,
+    "events_sessions": q_events_sessions,
 }
 
 SPATIAL_SQL = {
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "colo_knn": SQL_KNN,
     "colo_point_in_polygon": SQL_PIP,
     "colo_rasterize": SQL_RASTERIZE,
@@ -556,6 +619,7 @@ DATA_QUERIES = {
     "dedup_ngram_jaccard": q_ngram_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embed_neardup": q_embed_neardup,
 }
 

@@ -142,6 +142,103 @@ def cosine_neardup_pairs(embeddings: Dataset, tau: float) -> pa.Table:
     )
 
 
+def ivf_topk(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    kmeans_iters: int = 8,
+    train_sample: int = 2048,
+) -> pa.Table:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer (trained on a
+    driver-side sample, broadcast) assigns each vector to its nearest
+    centroid list; a query scans only its n_probe closest lists. The
+    other standard scale path next to LSH bucketing; recall-tested
+    against the brute-force baseline. Output schema matches ann_topk."""
+    sample = embeddings.take(train_sample)
+    m = _normalize(np.stack([np.asarray(r["embedding"]) for r in sample]))
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    cref = ray.put(centroids)
+
+    def add_list(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        ids, mm = _batch_matrix(df)
+        out = df[["vec_id", "embedding"]].copy()
+        out["ivf_list"] = np.argmax(_normalize(mm) @ cents.T, axis=1)
+        return out
+
+    listed = embeddings.map_batches(add_list, batch_format="pandas")
+
+    qset = {int(qq) for qq in query_ids}
+    qdf = embeddings.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas()
+    qids, qm = _batch_matrix(qdf)
+    qn = _normalize(qm)
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    wanted: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for lst in probes[qi]:
+            wanted.setdefault(int(lst), []).append(qi)
+    wref = ray.put((qids, qn, wanted))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qn_, wanted_ = ray.get(wref)
+        rows = []
+        for lst, qis in wanted_.items():
+            sub = df[df["ivf_list"] == lst]
+            if sub.empty:
+                continue
+            ids, mm = _batch_matrix(sub)
+            sims = _normalize(mm) @ qn_.T
+            for qi in qis:
+                qid = qids_[qi]
+                idx = np.nonzero(ids != qid)[0]
+                if not len(idx):
+                    continue
+                top = idx[np.argsort(-sims[idx, qi], kind="stable")[:k]]
+                rows.append(pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids[top], "sim": sims[top, qi]}
+                ))
+        if not rows:
+            return pd.DataFrame(
+                {"query_id": np.empty(0, np.int64),
+                 "vec_id": np.empty(0, np.int64),
+                 "sim": np.empty(0, np.float64)}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = listed.map_batches(partial, batch_format="pandas").take_all()
+    best: dict[int, list[tuple[float, int]]] = {}
+    for r in parts:
+        best.setdefault(int(r["query_id"]), []).append(
+            (float(r["sim"]), int(r["vec_id"]))
+        )
+    rows_out = []
+    for qid in sorted(best):
+        for sim, vid in sorted(best[qid], key=lambda t: (-t[0], t[1]))[:k]:
+            rows_out.append((qid, vid, round(sim, 6)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows_out], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows_out], pa.int64()),
+            "sim": pa.array([r[2] for r in rows_out], pa.float64()),
+        }
+    )
+
+
 def lsh_bucket_topk(
     embeddings: Dataset,
     query_ids: list[int],

@@ -87,3 +87,22 @@ def test_lsh_topk_recall_vs_bruteforce(emb_ds, emb_df):
         want_ids = {v for v, _ in brute[q]}
         recall = len(got.get(q, set()) & want_ids) / len(want_ids)
         assert recall >= 0.5, (q, recall)
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb_ds, emb_df):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.similarity import (
+        ivf_topk,
+    )
+
+    qids = [0, 5, 17]
+    brute = numpy_topk(emb_df, qids, 10)
+    t = ivf_topk(emb_ds, qids, k=10, n_lists=8, n_probe=3)
+    got: dict[int, set] = {}
+    for q, v in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()):
+        got.setdefault(q, set()).add(v)
+    for q in qids:
+        want_ids = {v for v, _ in brute[q]}
+        recall = len(got.get(q, set()) & want_ids) / len(want_ids)
+        # clustered embeddings -> the query's cluster list holds its
+        # neighbors; probing 3 of 8 lists should recover most of top-10
+        assert recall >= 0.7, (q, recall)
