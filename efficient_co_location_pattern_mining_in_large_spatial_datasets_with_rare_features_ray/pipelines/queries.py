@@ -115,6 +115,20 @@ def q_patterns_salted(sf_dir: str) -> pa.Table:
 
 _INST = f"inst AS ({EVENTS_INSTANCES_SQL})"
 
+
+def _pairs_sql(d: float) -> str:
+    return f"""pairs AS (
+  SELECT a.instance_id AS a_id, a.feature AS a_feature,
+         b.instance_id AS b_id, b.feature AS b_feature
+  FROM inst a JOIN inst b
+    ON b.x >= a.x - {d} AND b.x <= a.x + {d}
+   AND b.y >= a.y - {d} AND b.y <= a.y + {d}
+   AND a.instance_id < b.instance_id
+  WHERE a.feature <> b.feature
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {d * d}
+)"""
+
+
 _PAIRS = f"""pairs AS (
   SELECT a.instance_id AS a_id, a.feature AS a_feature,
          b.instance_id AS b_id, b.feature AS b_feature
@@ -208,6 +222,133 @@ SELECT pattern, k, n_rows,
        round(least(CASE WHEN ri1 > 1e-9 THEN pr1 / ri1 ELSE 0.0 END,
                    CASE WHEN ri2 > 1e-9 THEN pr2 / ri2 ELSE 0.0 END), 9) AS wpi
 FROM met"""
+
+
+def sql_patterns_full(d: float = COLO_D, mp: float = COLO_MIN_PREV) -> str:
+    """Unrolled apriori-level SQL oracle for the FULL mining output
+    (prevalent patterns of every size), exact whenever the maximal
+    prevalent pattern has k <= 3 -- which holds for the driver's fixed
+    (d = COLO_D, mp = COLO_MIN_PREV) on the testdata projection (all
+    prevalent patterns are k = 2 there, and the k = 3 level in this SQL
+    verifies that no spurious k >= 3 pattern is emitted / missed).
+
+    Mirrors the engine level loop (mining_core.mine_local) exactly:
+    * k2 candidates = all cross-type pairs; emit iff WPI >= mp
+      (src/miner.cpp:382-430 epsilon-weight branch).
+    * k3 candidates = apriori-gen join of prevalent k2s sharing their
+      first (rarest) feature, last features in canonical (count asc,
+      lex) order (src/miner.cpp:102-149); Lemma-2's drop!=0 subsets are
+      the two generators themselves at k=3, so no extra filter.
+    * k3 table instances = T2 rows extended by the shared ordered
+      neighbor (findExtendedSet, src/miner.cpp:264-310) == triangle
+      join over the ordered edge relation.
+    Validated against the engine at (d=40, mp=0.15) on sf0.001 where
+    ten k=3 patterns exist (tests/test_flagship_sql.py)."""
+    return f"""WITH {_INST}, {_COUNTS}, {_pairs_sql(d)},
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM counts),
+ranked AS (SELECT feature, n, row_number() OVER (ORDER BY n, feature) AS rk FROM counts),
+delta AS (
+  SELECT 2.0 / (m.m * (m.m - 1.0))
+         * (SELECT sum(b.n / a.n) FROM ranked a JOIN ranked b ON b.rk > a.rk)
+         AS delta
+  FROM m
+),
+directed AS (
+  SELECT CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN a_id ELSE b_id END AS center_id,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN a_feature ELSE b_feature END AS center_feature,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN b_id ELSE a_id END AS nbr_id,
+         CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND a_feature <= b_feature)
+              THEN b_feature ELSE a_feature END AS nbr_feature
+  FROM pairs
+  JOIN counts ca ON ca.feature = a_feature
+  JOIN counts cb ON cb.feature = b_feature
+),
+agg2 AS (
+  SELECT center_feature AS f1, nbr_feature AS f2, count(*) AS n_rows,
+         count(DISTINCT center_id) AS d1, count(DISTINCT nbr_id) AS d2
+  FROM directed GROUP BY 1, 2
+),
+met2 AS (
+  SELECT f1, f2, n_rows,
+         d1 / c1.n AS pr1, d2 / c2.n AS pr2,
+         CASE WHEN delta.delta <= 1e-9 THEN 0.0
+              ELSE exp(-pow(c1.n / least(c1.n, c2.n) - 1.0, 2)
+                       / (2.0 * delta.delta * delta.delta)) END AS ri1,
+         CASE WHEN delta.delta <= 1e-9 THEN 0.0
+              ELSE exp(-pow(c2.n / least(c1.n, c2.n) - 1.0, 2)
+                       / (2.0 * delta.delta * delta.delta)) END AS ri2
+  FROM agg2
+  JOIN counts c1 ON c1.feature = f1
+  JOIN counts c2 ON c2.feature = f2, delta
+),
+wmet2 AS (
+  SELECT f1, f2, n_rows,
+         least(pr1, pr2) AS pi,
+         least(CASE WHEN ri1 > 1e-9 THEN pr1 / ri1 ELSE 0.0 END,
+               CASE WHEN ri2 > 1e-9 THEN pr2 / ri2 ELSE 0.0 END) AS wpi
+  FROM met2
+),
+prev2 AS (SELECT * FROM wmet2 WHERE wpi >= {mp}),
+cand3 AS (
+  SELECT a.f1 AS f1, a.f2 AS f2, b.f2 AS f3
+  FROM prev2 a
+  JOIN prev2 b ON a.f1 = b.f1
+  JOIN ranked r2 ON r2.feature = a.f2
+  JOIN ranked r3 ON r3.feature = b.f2
+  WHERE r2.rk < r3.rk
+),
+t3 AS (
+  SELECT c.f1, c.f2, c.f3,
+         e12.center_id AS i1, e12.nbr_id AS i2, e13.nbr_id AS i3
+  FROM cand3 c
+  JOIN directed e12 ON e12.center_feature = c.f1 AND e12.nbr_feature = c.f2
+  JOIN directed e13 ON e13.center_id = e12.center_id AND e13.nbr_feature = c.f3
+  JOIN directed e23 ON e23.center_id = e12.nbr_id AND e23.nbr_id = e13.nbr_id
+),
+agg3 AS (
+  SELECT f1, f2, f3, count(*) AS n_rows,
+         count(DISTINCT i1) AS d1, count(DISTINCT i2) AS d2,
+         count(DISTINCT i3) AS d3
+  FROM t3 GROUP BY 1, 2, 3
+),
+met3 AS (
+  SELECT f1, f2, f3, n_rows,
+         d1 / c1.n AS pr1, d2 / c2.n AS pr2, d3 / c3.n AS pr3,
+         c1.n AS n1, c2.n AS n2, c3.n AS n3,
+         least(c1.n, c2.n, c3.n) AS mn, delta.delta AS dlt
+  FROM agg3
+  JOIN counts c1 ON c1.feature = f1
+  JOIN counts c2 ON c2.feature = f2
+  JOIN counts c3 ON c3.feature = f3, delta
+),
+wmet3 AS (
+  SELECT f1, f2, f3, n_rows,
+         least(pr1, pr2, pr3) AS pi,
+         least(CASE WHEN ri1 > 1e-9 THEN pr1 / ri1 ELSE 0.0 END,
+               CASE WHEN ri2 > 1e-9 THEN pr2 / ri2 ELSE 0.0 END,
+               CASE WHEN ri3 > 1e-9 THEN pr3 / ri3 ELSE 0.0 END) AS wpi
+  FROM (
+    SELECT *,
+           CASE WHEN dlt <= 1e-9 THEN 0.0
+                ELSE exp(-pow(n1 / mn - 1.0, 2) / (2.0 * dlt * dlt)) END AS ri1,
+           CASE WHEN dlt <= 1e-9 THEN 0.0
+                ELSE exp(-pow(n2 / mn - 1.0, 2) / (2.0 * dlt * dlt)) END AS ri2,
+           CASE WHEN dlt <= 1e-9 THEN 0.0
+                ELSE exp(-pow(n3 / mn - 1.0, 2) / (2.0 * dlt * dlt)) END AS ri3
+    FROM met3
+  )
+),
+prev3 AS (SELECT * FROM wmet3 WHERE wpi >= {mp})
+SELECT f1 || ',' || f2 AS pattern, CAST(2 AS INTEGER) AS k,
+       round(wpi, 9) AS wpi, round(pi, 9) AS pi, n_rows
+FROM prev2
+UNION ALL
+SELECT f1 || ',' || f2 || ',' || f3 AS pattern, CAST(3 AS INTEGER) AS k,
+       round(wpi, 9) AS wpi, round(pi, 9) AS pi, n_rows
+FROM prev3"""
 
 
 # ----- spatial utility operators (kNN / PIP / raster) ---------------------
@@ -655,6 +796,11 @@ COLO_SQL = {
     "colo_ordered_edges": SQL_ORDERED_EDGES,
     "colo_star_sizes": SQL_STAR_SIZES,
     "colo_patterns_k2": SQL_PATTERNS_K2,
-    # colo_patterns: no SQL oracle (iterative level-loop); rows-only check,
-    # exact conformance covered by tests/test_engine_vs_oracle.py.
+    # Full mining: unrolled k<=3 apriori SQL, exact at the driver's fixed
+    # (d, mp) where the maximal prevalent pattern is k=2 and the SQL's k=3
+    # level double-checks that none is spuriously emitted or missed.
+    # General-k conformance is pytest's engine-vs-oracle gate plus the
+    # LasVegas golden (tests/test_reference_data.py).
+    "colo_patterns": sql_patterns_full(),
+    "colo_patterns_salted": sql_patterns_full(),
 }

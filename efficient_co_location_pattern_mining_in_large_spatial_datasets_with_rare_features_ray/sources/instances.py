@@ -74,18 +74,25 @@ EVENTS_INSTANCES_SQL = (
 def read_instances_csv(path: str) -> Dataset:
     """Reference CSV layout: Feature,Instance,LocX,LocY[,extra...]
     (include/data_loader.h:23-31); id = Feature + Instance
-    (src/data_loader.cpp:28)."""
+    (src/data_loader.cpp:28).
+
+    Also accepts the ``X,Y`` header variant used by the reference's own
+    bundled ``data/5k_15f_50k.csv`` (which the reference loader itself
+    cannot read -- it hardcodes LocX/LocY); this reader maps either
+    header pair onto the canonical schema."""
     ds = ray.data.read_csv(path)
 
     def fn(t: pa.Table) -> pa.Table:
+        names = set(t.column_names)
+        xcol, ycol = ("LocX", "LocY") if "LocX" in names else ("X", "Y")
         feat = pc.cast(t["Feature"], pa.string())
         inst = pc.cast(t["Instance"], pa.string())
         return pa.table(
             {
                 "instance_id": pc.binary_join_element_wise(feat, inst, ""),
                 "feature": feat,
-                "x": pc.cast(t["LocX"], pa.float64()),
-                "y": pc.cast(t["LocY"], pa.float64()),
+                "x": pc.cast(t[xcol], pa.float64()),
+                "y": pc.cast(t[ycol], pa.float64()),
             }
         )
 
