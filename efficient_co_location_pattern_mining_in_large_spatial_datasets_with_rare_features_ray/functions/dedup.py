@@ -12,7 +12,7 @@ import zlib
 
 import numpy as np
 
-from .text import char_shingles
+from .text import char_shingles, md5_64
 
 MINHASH_PERMS = 128
 # 16 bands x 8 rows: the LSH S-curve threshold (1/b)^(1/r) = 0.707 sits ON
@@ -58,13 +58,13 @@ def band_hashes(sig: np.ndarray, bands: int = MINHASH_BANDS) -> np.ndarray:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32-expanded to 64 bits
-    via blake2b), majority vote per bit. Returns signed int64."""
+    """64-bit SimHash over whitespace tokens, majority vote per bit.
+    Token hash = first 8 bytes of md5 (functions/text.md5_64) so the
+    whole signature is exactly restatable in the DuckDB oracle
+    (queries.py SQL_SIMHASH). Returns signed int64."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.lower().split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+        h = md5_64(tok)
         bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     val = 0

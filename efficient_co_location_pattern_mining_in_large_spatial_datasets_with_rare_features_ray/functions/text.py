@@ -11,6 +11,7 @@ covered by unit tests instead.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -99,16 +100,27 @@ def lang_id(texts: pd.Series) -> np.ndarray:
     return out
 
 
+def md5_64(token: str) -> int:
+    """First 8 bytes of md5, big-endian unsigned -- the one 64-bit token
+    hash both this engine and the DuckDB oracle can compute
+    (``CAST(concat('0x', substr(md5(t),1,16)) AS UBIGINT)``)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+
+
+FINGERPRINT_MOD = (1 << 61) - 1
+FINGERPRINT_MUL = 1000003
+
+
 def fingerprint(texts: pd.Series) -> np.ndarray:
     """Order-sensitive rolling document hash over whitespace tokens:
-    h = (h * 1000003 + crc32(token)) mod 2^61. Deterministic across
-    processes (unlike Python's salted hash())."""
-    mod = (1 << 61) - 1
+    h = (h * 1000003 + md5_64(token)) mod (2^61 - 1). Deterministic
+    across processes (unlike Python's salted hash()) and exactly
+    restatable in SQL via list_reduce (queries.py SQL_FINGERPRINTS)."""
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         h = 0
         for tok in t.split():
-            h = (h * 1000003 + zlib.crc32(tok.encode("utf-8"))) % mod
+            h = (h * FINGERPRINT_MUL + md5_64(tok)) % FINGERPRINT_MOD
         out[i] = h
     return out
 
@@ -121,6 +133,17 @@ def char_shingles(text: str, k: int = 5) -> set[int]:
     enc = s.encode("utf-8")
     # byte-shingles of the utf-8 encoding (ascii corpus: == char shingles)
     return {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
+
+
+def char_shingles_str(text: str, k: int = 3) -> set[str]:
+    """UNhashed character k-shingles (lowercased) -- collision-free, and
+    identical to DuckDB ``substr`` windows, so exact-Jaccard pipelines
+    built on these are SQL-oracle-able. A text shorter than k yields the
+    whole text as its single shingle; empty text yields the empty set."""
+    s = text.lower()
+    if len(s) < k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
 
 
 def jaccard(a: set, b: set) -> float:

@@ -31,7 +31,7 @@ from ..functions.dedup import (
     minhash_signature,
     simhash64,
 )
-from ..functions.text import char_shingles, jaccard
+from ..functions.text import char_shingles, char_shingles_str, jaccard
 
 
 def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
@@ -176,12 +176,14 @@ def ngram_jaccard_pairs(
 ) -> Dataset:
     """Exact n-gram Jaccard near-dup pairs *within* a grouping column
     (e.g. same source): groupby(group_col) keeps the pairwise work
-    partition-local. Columns: (a, b, jaccard)."""
+    partition-local. Columns: (a, b, jaccard). Uses UNhashed character
+    shingles (char_shingles_str) so the result is collision-free and
+    exactly reproducible by the DuckDB oracle (SQL_NGRAM_JACCARD)."""
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")
         ids = df["doc_id"].to_numpy(np.int64)
-        sh = [char_shingles(t, k) for t in df["text"]]
+        sh = [char_shingles_str(t, k) for t in df["text"]]
         a, b, js = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

@@ -680,6 +680,99 @@ FROM documents GROUP BY source"""
 SQL_DEDUP_EXACT = """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text"""
 
+# exact restatement of functions/text.lang_id: per-language stopword hit
+# counts over whitespace tokens (duplicates counted), first language in
+# profile order wins ties, zero hits -> 'und'
+_LANG_LISTS = {
+    "en": "'the','and','of','to','in','is','that','it','for','on','with','as','was','at','by'",
+    "es": "'el','la','de','que','y','en','un','ser','se','no','por','con','para','como','su'",
+    "de": "'der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist'",
+    "fr": "'le','la','de','et','les','des','en','un','du','une','que','est','pour','qui'",
+}
+
+SQL_LANGID = f"""WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x IN ({_LANG_LISTS["en"]}))) AS s_en,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x IN ({_LANG_LISTS["es"]}))) AS s_es,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x IN ({_LANG_LISTS["de"]}))) AS s_de,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x IN ({_LANG_LISTS["fr"]}))) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM scored"""
+
+# exact restatement of functions/text.fingerprint: ordered left fold
+# h = (h * 1000003 + md5_64(token)) mod (2^61 - 1) via list_reduce
+SQL_FINGERPRINTS = """SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           list_transform(
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END,
+             t -> CAST(CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT) AS HUGEINT))),
+         (acc, x) -> (acc * 1000003 + x) % 2305843009213693951
+       ) AS BIGINT) AS fp
+FROM documents"""
+
+# exact restatement of functions/dedup.simhash64: md5-64 token hash,
+# per-bit +1/-1 majority vote, signed-int64 signature
+SQL_SIMHASH = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63)
+                 THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS simhash
+FROM sig
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS simhash
+FROM documents WHERE trim(text) = ''"""
+
+# exact restatement of pipelines/dedup.ngram_jaccard_pairs: UNhashed
+# lowercased char-3-shingles, within-source pairs, jaccard >= 0.3
+SQL_NGRAM_JACCARD = """WITH sh AS (
+  SELECT doc_id, source,
+         CASE WHEN length(lower(text)) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN length(lower(text)) < 3 THEN [lower(text)]
+              ELSE list_distinct([substr(lower(text), x, 3)
+                                  FOR x IN generate_series(1, length(lower(text)) - 2)])
+         END AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) END AS j
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.3"""
+
 _EMB_NORMS = """pos AS (SELECT unnest(generate_series(1, 64)) AS p),
 norms AS (
   SELECT e.vec_id, sqrt(sum(pow(CAST(e.embedding[p.p] AS DOUBLE), 2))) AS nrm
@@ -770,9 +863,13 @@ DATA_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
-    # doc_langid / doc_fingerprints / dedup_minhash_lsh / dedup_simhash /
-    # dedup_ngram_jaccard / ann_topk_lsh: heuristic or iterative -> rows-only;
-    # covered by unit tests (tests/test_text_dedup.py, tests/test_similarity.py).
+    "doc_langid": SQL_LANGID,
+    "doc_fingerprints": SQL_FINGERPRINTS,
+    "dedup_simhash": SQL_SIMHASH,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    # dedup_minhash_lsh / ann_topk_lsh / ann_topk_ivf / corpus_clean:
+    # LSH banding or iterative -> rows-only in the driver; covered by
+    # unit/property tests (tests/test_text_dedup.py, tests/test_similarity.py).
 }
 
 
