@@ -8,9 +8,9 @@ just small):
   once, no driver loop.
 * MinHash-LSH  -- signature per batch (vectorized), explode to
   (band, band_hash) rows, groupby band bucket -> candidate pairs,
-  verify true shingle Jaccard on the candidates only (candidates are
-  << corpus; texts fetched by a semi-join-style filter, broadcast as a
-  dict because the candidate set is small by construction).
+  then a fully distributed verify (pair-dedup shuffle -> doc-bucket
+  shingle attach -> pair-bucket exact Jaccard); the driver only ever
+  sees the final verified pair table.
 * SimHash      -- one signature row per doc; near-dup = small hamming
   distance, groupable by rotating bit-bands (same LSH shape).
 """
@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray
 from ray.data import Dataset
 
 from ..functions.dedup import (
@@ -112,45 +111,176 @@ def minhash_candidates(docs: Dataset, n_buckets: int = 64) -> Dataset:
         ),
         batch_format="pandas",
     )
-    # pairs may still repeat across bands; consumers dedupe (the verify
-    # step does it driver-side -- candidates are small by construction)
+    # pairs may still repeat across bands; minhash_verified_pairs dedupes
+    # them in its first pair-bucket shuffle
     return rows.groupby("bb").map_groups(pairs_in_bucket, batch_format="pandas")
+
+
+def minhash_verified_pairs(
+    docs: Dataset, threshold: float = 0.7, shingle_k: int = 5,
+    n_buckets: int = 64,
+) -> Dataset:
+    """LSH candidates verified by exact shingle Jaccard >= threshold,
+    fully DISTRIBUTED -- the driver never materializes candidates or
+    texts (on a crawl-scale corpus the candidate set is NOT small).
+    Returns a Dataset of (a, b, jaccard).
+
+    Shuffle plan (three bucketed exchanges, each over candidate-sized
+    data, never one Ray group per pair/doc):
+      1. pair-bucket groupby  -> dedupe candidate pairs across bands
+      2. doc-bucket groupby over (pair-role rows UNION doc texts) ->
+         compute each needed doc's shingle set ONCE, attach to each of
+         its role rows (docs without candidates are dropped here, so
+         shingles ship only for docs that need verification)
+      3. pair-bucket groupby  -> both role rows of a pair meet; exact
+         Jaccard from the two sorted shingle arrays
+    """
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        return df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    cand = (
+        minhash_candidates(docs, n_buckets=n_buckets)
+        .map_batches(
+            lambda df: df.assign(
+                pb=(df["a"].to_numpy(np.int64) * 1000003
+                    + df["b"].to_numpy(np.int64)) % n_buckets
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pb")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+
+    def to_roles(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_roles()
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "a": np.concatenate([a, a]),
+                "b": np.concatenate([b, b]),
+                "kind": np.zeros(2 * len(a), np.int8),
+                "text": np.full(2 * len(a), "", object),
+            }
+        )
+
+    def _empty_roles() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64), "a": np.empty(0, np.int64),
+             "b": np.empty(0, np.int64), "kind": np.empty(0, np.int8),
+             "text": np.empty(0, object)}
+        )
+
+    roles = cand.map_batches(to_roles, batch_format="pandas")
+    texts = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "a": np.zeros(len(df), np.int64),
+                "b": np.zeros(len(df), np.int64),
+                "kind": np.ones(len(df), np.int8),
+                "text": df["text"].to_numpy(object),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+             "doc_id": np.empty(0, np.int64), "sh": np.empty(0, object)}
+        )
+        if df.empty:
+            return empty
+        role_rows = df[df["kind"] == 0]
+        if role_rows.empty:
+            return empty
+        needed = set(role_rows["doc_id"].tolist())
+        doc_rows = df[df["kind"] == 1]
+        sh = {
+            did: np.fromiter(s, np.int64, len(s)) if (s := char_shingles(t, shingle_k)) else np.empty(0, np.int64)
+            for did, t in zip(doc_rows["doc_id"], doc_rows["text"])
+            if did in needed
+        }
+        for v in sh.values():
+            v.sort()
+        return pd.DataFrame(
+            {
+                "a": role_rows["a"].to_numpy(np.int64),
+                "b": role_rows["b"].to_numpy(np.int64),
+                "doc_id": role_rows["doc_id"].to_numpy(np.int64),
+                "sh": [sh[d] for d in role_rows["doc_id"]],
+            }
+        )
+
+    with_sh = (
+        roles.union(texts)
+        .map_batches(
+            lambda df: df.assign(db=df["doc_id"].to_numpy(np.int64) % n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("db")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+             "jaccard": np.empty(0, np.float64)}
+        )
+        if df.empty:
+            return empty
+        av, bv, jv = [], [], []
+        for (a, b), sub in df.groupby(["a", "b"], sort=False):
+            if len(sub) != 2:
+                continue  # pair lost a side (doc absent from corpus)
+            x, y = sub["sh"].iloc[0], sub["sh"].iloc[1]
+            if sub["doc_id"].iloc[0] != a:
+                x, y = y, x
+            if len(x) == 0 and len(y) == 0:
+                j = 1.0
+            else:
+                inter = np.intersect1d(x, y, assume_unique=True).size
+                union = len(x) + len(y) - inter
+                j = inter / union if union else 0.0
+            if j >= threshold:
+                av.append(a); bv.append(b); jv.append(round(j, 6))
+        return pd.DataFrame(
+            {"a": np.asarray(av, np.int64), "b": np.asarray(bv, np.int64),
+             "jaccard": np.asarray(jv, np.float64)}
+        )
+
+    return (
+        with_sh.map_batches(
+            lambda df: df.assign(
+                pb2=(df["a"].to_numpy(np.int64) * 1000003
+                     + df["b"].to_numpy(np.int64)) % n_buckets
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pb2")
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 def minhash_neardup_pairs(
     docs: Dataset, threshold: float = 0.7, shingle_k: int = 5
 ) -> pa.Table:
-    """LSH candidates verified by exact shingle Jaccard >= threshold.
-    Returns (a, b, jaccard) sorted. The verify step broadcasts only the
-    candidate docs' shingle sets (small by construction)."""
-    raw = minhash_candidates(docs).take_all()
-    cand = [{"a": a, "b": b} for a, b in sorted({(int(c["a"]), int(c["b"])) for c in raw})]
-    if not cand:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    need = sorted({c["a"] for c in cand} | {c["b"] for c in cand})
-    need_set = set(need)
-    texts = (
-        docs.map_batches(
-            lambda df: df[df["doc_id"].isin(need_set)][["doc_id", "text"]],
-            batch_format="pandas",
-        )
-        .take_all()
-    )
-    sh = {r["doc_id"]: char_shingles(r["text"], shingle_k) for r in texts}
-    rows = []
-    for c in cand:
-        j = jaccard(sh[c["a"]], sh[c["b"]])
-        if j >= threshold:
-            rows.append((int(c["a"]), int(c["b"]), round(j, 6)))
-    rows.sort()
+    """Small-result wrapper over the distributed verify: sorted
+    (a, b, jaccard) table. Only the FINAL verified pairs (the query
+    result itself) reach the driver."""
+    df = minhash_verified_pairs(docs, threshold, shingle_k).to_pandas()
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.table(
         {
-            "a": pa.array([r[0] for r in rows], pa.int64()),
-            "b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
+            "jaccard": pa.array(df["jaccard"].to_numpy(np.float64), pa.float64()),
         }
     )
 

@@ -117,6 +117,28 @@ def test_minhash_lsh_finds_planted_neardups(ray_session):
     assert len(pairs) < 10
 
 
+def test_minhash_distributed_verify_at_10x_high_dup_rate(ray_session):
+    """10x corpus with a crawl-like ~43% duplicate rate: the distributed
+    verify (no driver-side candidate materialization) must still find
+    every planted near-dup pair and nothing of the unrelated docs."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(800)]
+    rows = []
+    for i in range(400):
+        rows.append((i, " ".join(rng.choice(vocab, size=60)), "en", "s0"))
+    want_pairs = set()
+    for j, base_id in enumerate(range(0, 300, 2)):  # 150 planted dups
+        words = rows[base_id][1].split()
+        words[7] = "changed"
+        rows.append((1000 + j, " ".join(words), "en", "s0"))
+        want_pairs.add((base_id, 1000 + j))
+    out = minhash_neardup_pairs(docs_ds(rows), threshold=0.7)
+    pairs = {(a, b) for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist())}
+    assert want_pairs <= pairs
+    extras = pairs - want_pairs
+    assert len(extras) < 20  # random 60-word docs shouldn't verify at 0.7
+
+
 def test_ngram_jaccard_pairs_exact(ray_session):
     rows = [
         (1, "abcdefghij", "en", "s0"),
