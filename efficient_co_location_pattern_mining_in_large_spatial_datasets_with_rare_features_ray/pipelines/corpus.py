@@ -5,14 +5,17 @@ over the ``documents`` table with this repo's operators:
 
     quality gate (vectorized metrics)          -- map_batches
       -> exact dedup (crc-bucket shuffle)      -- groupby(bucket)
-      -> MinHash-LSH near-dup pruning          -- band shuffle + verify
-      -> kept document ids
+      -> MinHash-LSH near-dup pruning          -- band + verify shuffles
+      -> per-doc verdict rows                  -- bucket groupby
 
-Near-dup resolution keeps, per connected component of the verified
-near-dup graph, the smallest doc_id (union-find on the driver: the
-verified pair set is small by LSH construction; at 10^12-doc scale the
-same resolution runs as a few rounds of min-label propagation --
-documented, same output)."""
+Everything is Dataset-native: verdicts are ROWS flowing through bucketed
+shuffles, never driver-held id sets, and near-dup components are
+resolved by distributed min-label propagation over the verified pair
+graph (converges in O(component diameter) rounds; dup clusters are
+shallow). The driver touches only the per-round convergence counter and
+the final verdict table (the query result). At 10^12 docs the final
+table would stream to partitioned parquet instead of pa.Table.
+"""
 
 from __future__ import annotations
 
@@ -22,8 +25,9 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..functions.dedup import crc_bucket
 from ..functions.text import quality_metrics
-from .dedup import exact_dedup, minhash_neardup_pairs
+from .dedup import minhash_verified_pairs
 
 
 def quality_filter(docs: Dataset, min_words: int = 20,
@@ -40,66 +44,263 @@ def quality_filter(docs: Dataset, min_words: int = 20,
     return docs.map_batches(fn, batch_format="pandas")
 
 
-def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    parent: dict[int, int] = {}
+def neardup_components(pairs: Dataset, n_buckets: int = 64,
+                       max_rounds: int = 50) -> Dataset:
+    """(node, root) for every doc appearing in >=1 verified near-dup
+    pair; root = the component's smallest doc_id. Distributed min-label
+    propagation: each round every node sends its current label along its
+    edges and adopts the minimum it hears (keeping its own). Two bucketed
+    shuffles per round over the (small) near-dup graph only; the driver
+    sees a single scalar changed-count per round."""
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "nbr": np.empty(0, np.int64)})
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "label": np.empty(0, np.int64)})
+        nodes = np.unique(df["node"].to_numpy(np.int64))
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = (
+        edges.map_batches(
+            lambda df: df.assign(nb=df["node"].to_numpy(np.int64) % n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("nb")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def send(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"dst": np.empty(0, np.int64), "lab": np.empty(0, np.int64),
+             "is_self": np.empty(0, np.int8)}
+        )
+        if df.empty:
+            return empty
+        lab_rows = df[df["kind"] == 1]
+        edge_rows = df[df["kind"] == 0]
+        lab = dict(zip(lab_rows["node"].tolist(), lab_rows["lab"].tolist()))
+        if not lab:
+            return empty
+        src_lab = edge_rows["node"].map(lab).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "dst": np.concatenate(
+                    [edge_rows["nbr"].to_numpy(np.int64),
+                     lab_rows["node"].to_numpy(np.int64)]
+                ),
+                "lab": np.concatenate(
+                    [src_lab, lab_rows["lab"].to_numpy(np.int64)]
+                ),
+                "is_self": np.concatenate(
+                    [np.zeros(len(edge_rows), np.int8),
+                     np.ones(len(lab_rows), np.int8)]
+                ),
+            }
+        )
+
+    def receive(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"node": np.empty(0, np.int64), "label": np.empty(0, np.int64),
+                 "changed": np.empty(0, np.int64)}
+            )
+        g = df.groupby("dst", sort=False)
+        new = g["lab"].min()
+        old = df[df["is_self"] == 1].set_index("dst")["lab"]
+        old = old.reindex(new.index)
+        return pd.DataFrame(
+            {
+                "node": new.index.to_numpy(np.int64),
+                "label": new.to_numpy(np.int64),
+                "changed": (new.to_numpy(np.int64)
+                            < old.to_numpy(np.int64)).astype(np.int64),
+            }
+        )
+
+    for _ in range(max_rounds):
+        tagged_edges = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(np.int64),
+                 "nbr": df["nbr"].to_numpy(np.int64),
+                 "lab": np.zeros(len(df), np.int64),
+                 "kind": np.zeros(len(df), np.int8)}
+            ),
+            batch_format="pandas",
+        )
+        tagged_labels = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(np.int64),
+                 "nbr": np.zeros(len(df), np.int64),
+                 "lab": df["label"].to_numpy(np.int64),
+                 "kind": np.ones(len(df), np.int8)}
+            ),
+            batch_format="pandas",
+        )
+        msgs = (
+            tagged_edges.union(tagged_labels)
+            .map_batches(
+                lambda df: df.assign(nb=df["node"].to_numpy(np.int64) % n_buckets),
+                batch_format="pandas",
+            )
+            .groupby("nb")
+            .map_groups(send, batch_format="pandas")
+        )
+        new_labels = (
+            msgs.map_batches(
+                lambda df: df.assign(db=df["dst"].to_numpy(np.int64) % n_buckets),
+                batch_format="pandas",
+            )
+            .groupby("db")
+            .map_groups(receive, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            break
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "root"}), batch_format="pandas"
+    )
+
+
+# verdict priority codes (mutually exclusive by pipeline construction,
+# max() used only as the group-combine)
+_PRIO_REASON = {3: "quality", 2: "exact_dup", 1: "near_dup", 0: ""}
 
 
 def clean_corpus(
     docs: Dataset,
     min_words: int = 20,
     neardup_threshold: float = 0.7,
+    n_buckets: int = 64,
 ) -> pa.Table:
     """Returns (doc_id, kept, reason): every input document with whether
     it survives the full gate and why it was dropped
     (quality | exact_dup | near_dup | '' when kept). Deterministic:
-    exact/near duplicate groups keep their smallest doc_id."""
-    all_ids = np.sort(
-        np.array([r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()],
-                 dtype=np.int64)
-    )
-    good = quality_filter(docs, min_words=min_words)
-    good_ids = {
-        int(r["doc_id"]) for r in good.select_columns(["doc_id"]).take_all()
-    }
-    # exact dedup among quality survivors
-    exact = exact_dedup(good).take_all()
-    exact_keep = {int(r["doc_id"]) for r in exact}
-    exact_dropped = good_ids - exact_keep
-    # near-dup resolution among exact-dedup survivors
-    survivors = good.map_batches(
-        lambda df: df[df["doc_id"].isin(exact_keep)], batch_format="pandas"
-    )
-    nd = minhash_neardup_pairs(survivors, threshold=neardup_threshold)
-    pairs = list(zip(nd["a"].to_pylist(), nd["b"].to_pylist()))
-    roots = _union_find_components(pairs)
-    near_dropped = {x for x, r in roots.items() if r != x}
+    exact/near duplicate groups keep their smallest doc_id. No driver-
+    side id sets: each stage emits verdict ROWS, combined by a final
+    bucketed groupby."""
 
-    kept, reason = [], []
-    for did in all_ids.tolist():
-        if did not in good_ids:
-            kept.append(False); reason.append("quality")
-        elif did in exact_dropped:
-            kept.append(False); reason.append("exact_dup")
-        elif did in near_dropped:
-            kept.append(False); reason.append("near_dup")
-        else:
-            kept.append(True); reason.append("")
+    def add_quality(df: pd.DataFrame) -> pd.DataFrame:
+        m = quality_metrics(df["text"])
+        out = df[["doc_id", "text"]].copy()
+        out["q_ok"] = (m["n_words"].to_numpy() >= min_words) & (
+            m["stop_ratio"].to_numpy() <= 0.9
+        )
+        return out
+
+    flagged = docs.map_batches(add_quality, batch_format="pandas")
+
+    def q_drops(df: pd.DataFrame) -> pd.DataFrame:
+        bad = df[~df["q_ok"]]
+        return pd.DataFrame(
+            {"doc_id": bad["doc_id"].to_numpy(np.int64),
+             "prio": np.full(len(bad), 3, np.int8)}
+        )
+
+    quality_dropped = flagged.map_batches(q_drops, batch_format="pandas")
+    good = flagged.map_batches(
+        lambda df: df[df["q_ok"]][["doc_id", "text"]], batch_format="pandas"
+    )
+
+    # exact dedup among survivors: crc-bucket shuffle, mark all but the
+    # min doc_id of each exact text group
+    def mark_exact(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "text": np.empty(0, object),
+                 "exact_dup": np.empty(0, bool)}
+            )
+        keep = df.groupby("text", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64),
+             "text": df["text"].to_numpy(object),
+             "exact_dup": (df["doc_id"].to_numpy(np.int64)
+                           != keep.to_numpy(np.int64))}
+        )
+
+    exact_marked = (
+        good.map_batches(
+            lambda df: df.assign(
+                bucket=df["text"].map(lambda t: crc_bucket(t, n_buckets))
+            ),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(mark_exact, batch_format="pandas")
+        .materialize()
+    )
+    exact_dropped = exact_marked.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df[df["exact_dup"]]["doc_id"].to_numpy(np.int64),
+             "prio": np.full(int(df["exact_dup"].sum()), 2, np.int8)}
+        ),
+        batch_format="pandas",
+    )
+    survivors = exact_marked.map_batches(
+        lambda df: df[~df["exact_dup"]][["doc_id", "text"]],
+        batch_format="pandas",
+    )
+
+    nd_pairs = minhash_verified_pairs(survivors, threshold=neardup_threshold)
+    comps = neardup_components(nd_pairs, n_buckets=n_buckets)
+    near_dropped = comps.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df[df["node"] != df["root"]]["node"].to_numpy(np.int64),
+             "prio": np.full(int((df["node"] != df["root"]).sum()), 1, np.int8)}
+        ),
+        batch_format="pandas",
+    )
+
+    base = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64),
+             "prio": np.zeros(len(df), np.int8)}
+        ),
+        batch_format="pandas",
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "kept": np.empty(0, bool),
+                 "reason": np.empty(0, object)}
+            )
+        prio = df.groupby("doc_id", sort=False)["prio"].max()
+        return pd.DataFrame(
+            {
+                "doc_id": prio.index.to_numpy(np.int64),
+                "kept": (prio.to_numpy(np.int8) == 0),
+                "reason": [_PRIO_REASON[int(p)] for p in prio.to_numpy()],
+            }
+        )
+
+    verdicts = (
+        base.union(quality_dropped).union(exact_dropped).union(near_dropped)
+        .map_batches(
+            lambda df: df.assign(vb=df["doc_id"].to_numpy(np.int64) % n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("vb")
+        .map_groups(combine, batch_format="pandas")
+    )
+    out = verdicts.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.table(
         {
-            "doc_id": pa.array(all_ids, pa.int64()),
-            "kept": pa.array(kept, pa.bool_()),
-            "reason": pa.array(reason, pa.string()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+            "kept": pa.array(out["kept"].to_numpy(bool), pa.bool_()),
+            "reason": pa.array(out["reason"].astype(str).tolist(), pa.string()),
         }
     )

@@ -7,15 +7,28 @@ import pandas as pd
 import ray.data
 
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.corpus import (
-    _union_find_components,
     clean_corpus,
+    neardup_components,
 )
 
 
-def test_union_find_components():
-    roots = _union_find_components([(1, 2), (2, 3), (10, 11), (5, 5)])
-    assert roots[1] == roots[2] == roots[3] == 1
-    assert roots[10] == roots[11] == 10
+def test_neardup_components_min_label_propagation(ray_session):
+    """Distributed min-label propagation must equal union-find roots,
+    including a long chain (multi-round convergence) and components
+    spanning different shuffle buckets."""
+    pairs = [(1, 2), (2, 3), (10, 11), (5, 6),
+             # chain 200-201-...-208 forces ~8 propagation rounds
+             *[(200 + i, 201 + i) for i in range(8)],
+             # cross-bucket component (64 apart -> same bucket; 65 differs)
+             (64, 129), (129, 1000)]
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = {r["node"]: r["root"] for r in neardup_components(ds).take_all()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[5] == out[6] == 5
+    assert all(out[200 + i] == 200 for i in range(9))
+    assert out[64] == out[129] == out[1000] == 64
 
 
 def test_clean_corpus_end_to_end(ray_session):
