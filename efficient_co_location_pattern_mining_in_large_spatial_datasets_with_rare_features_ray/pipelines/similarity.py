@@ -8,8 +8,12 @@
 * ``lsh_bucket_topk``   -- the scale path: sign-random-projection
   buckets colocate likely-similar vectors so each query only scans its
   own bucket(s). Recall-tested against the brute-force baseline.
-* ``cosine_neardup_pairs`` -- all pairs with cosine >= tau, computed
-  blockwise against the broadcast matrix (exact; SQL-oracled).
+* ``cosine_neardup_pairs`` -- all pairs with cosine >= tau via a
+  distributed block-pair cross join over object-store Arrow blocks
+  (exact; SQL-oracled; no driver materialization of the dataset).
+
+All intermediate embedding blocks are Arrow ``fixed_size_list<float64>``
+(zero-copy matmul loads, no object-dtype size-estimation noise).
 """
 
 from __future__ import annotations
@@ -35,6 +39,34 @@ def _batch_matrix(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     ids = df["vec_id"].to_numpy(np.int64)
     m = np.stack(df["embedding"].to_numpy())
     return ids, m
+
+
+def _pack(ids: np.ndarray, m: np.ndarray, extra: dict | None = None) -> pa.Table:
+    """(ids, matrix) -> Arrow table with a fixed_size_list embedding
+    column: zero-copy loads downstream and no object-dtype size-
+    estimation noise in Ray's block planner."""
+    cols: dict = {"vec_id": pa.array(ids, pa.int64())}
+    cols["embedding"] = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(m, dtype=np.float64).ravel(), pa.float64()),
+        m.shape[1],
+    )
+    for name, arr in (extra or {}).items():
+        cols[name] = pa.array(arr)
+    return pa.table(cols)
+
+
+def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow table -> (ids, float64 matrix), zero-copy for
+    fixed_size_list embeddings."""
+    ids = t["vec_id"].to_numpy()
+    col = t["embedding"].combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.values.to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(t), col.type.list_size)
+    else:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(t), -1)
+    return ids, np.asarray(m, np.float64)
 
 
 def ann_topk(
@@ -103,42 +135,67 @@ def ann_topk(
     )
 
 
-def cosine_neardup_pairs(embeddings: Dataset, tau: float) -> pa.Table:
-    """All unordered pairs (a < b) with cosine >= tau. Exact: each batch
-    multiplies against the full broadcast (normalized) matrix -- right
-    shape for 'small enough to broadcast' sides; beyond that, swap the
-    broadcast for LSH buckets (embedding-cosine near-dup at corpus
-    scale). Output (a, b, sim) rounded to 6."""
-    full = embeddings.to_pandas()
-    ids, m = _batch_matrix(full)
-    order = np.argsort(ids)
-    ids, m = ids[order], _normalize(m)[order]
-    ref = ray.put((ids, m))
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_m = ray.get(ref)
-        bids, bm = _batch_matrix(df)
-        sims = _normalize(bm) @ all_m.T
-        a, b, s = [], [], []
-        for i, bid in enumerate(bids):
-            mask = (sims[i] >= tau) & (all_ids > bid)
-            js = np.nonzero(mask)[0]
-            a.extend([bid] * len(js))
-            b.extend(all_ids[js].tolist())
-            s.extend(sims[i, js].tolist())
-        return pd.DataFrame(
-            {"a": np.asarray(a, np.int64), "b": np.asarray(b, np.int64),
-             "sim": np.round(np.asarray(s, np.float64), 6)}
-        )
-
-    parts = embeddings.map_batches(partial, batch_format="pandas").take_all()
-    rows = sorted((int(r["a"]), int(r["b"]), float(r["sim"])) for r in parts)
+@ray.remote
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, same: bool, tau: float) -> pa.Table:
+    """One cross-join cell: exact cosine between two normalized blocks,
+    emitting pairs (min_id, max_id, sim >= tau). Blocks arrive by object
+    store ref (zero-copy Arrow); the result is only the qualifying pairs."""
+    ids_a, ma = _unpack(ta)
+    ids_b, mb = _unpack(tb)
+    if not len(ids_a) or not len(ids_b):
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    sims = ma @ mb.T
+    if same:
+        sel = (sims >= tau) & (ids_a[:, None] < ids_b[None, :])
+    else:
+        sel = sims >= tau  # disjoint id sets; orient below
+    ii, jj = np.nonzero(sel)
+    a = ids_a[ii]
+    b = ids_b[jj]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
     return pa.table(
-        {
-            "a": pa.array([r[0] for r in rows], pa.int64()),
-            "b": pa.array([r[1] for r in rows], pa.int64()),
-            "sim": pa.array([r[2] for r in rows], pa.float64()),
-        }
+        {"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
+         "sim": pa.array(np.round(sims[ii, jj], 6), pa.float64())}
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: Dataset, tau: float, n_shards: int = 8
+) -> pa.Table:
+    """All unordered pairs (a < b) with cosine >= tau -- EXACT, computed
+    as a distributed block-pair cross join: the dataset is normalized
+    and packed into n_shards Arrow blocks that stay in the object store;
+    one Ray task per block pair (i <= j) computes its sims. The driver
+    holds only block refs and the final qualifying-pair table (the query
+    result). Raw tasks are used because a cross join is the one shape
+    the Dataset API cannot express. O(n^2/P) compute is inherent to the
+    exact op; at corpus scale run the LSH/IVF bucketing (lsh_bucket_topk
+    / ivf_topk) as the candidate generator and keep this as the
+    per-bucket verifier. Output (a, b, sim) rounded to 6."""
+
+    def norm_block(df: pd.DataFrame) -> pa.Table:
+        ids, m = _batch_matrix(df)
+        return _pack(ids, _normalize(m))
+
+    norm = (
+        embeddings.map_batches(norm_block, batch_format="pandas")
+        .repartition(n_shards)
+        .materialize()
+    )
+    refs = norm.to_arrow_refs()
+    tasks = [
+        _block_pair_sims.remote(refs[i], refs[j], i == j, tau)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.concat_tables(parts).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
     )
 
 
@@ -172,12 +229,14 @@ def ivf_topk(
                     centroids[c] = v / n
     cref = ray.put(centroids)
 
-    def add_list(df: pd.DataFrame) -> pd.DataFrame:
+    def add_list(df: pd.DataFrame) -> pa.Table:
         cents = ray.get(cref)
         ids, mm = _batch_matrix(df)
-        out = df[["vec_id", "embedding"]].copy()
-        out["ivf_list"] = np.argmax(_normalize(mm) @ cents.T, axis=1)
-        return out
+        mn = _normalize(mm)
+        return _pack(
+            ids, mn,
+            {"ivf_list": np.argmax(mn @ cents.T, axis=1).astype(np.int32)},
+        )
 
     listed = embeddings.map_batches(add_list, batch_format="pandas")
 
@@ -194,15 +253,17 @@ def ivf_topk(
             wanted.setdefault(int(lst), []).append(qi)
     wref = ray.put((qids, qn, wanted))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         qids_, qn_, wanted_ = ray.get(wref)
         rows = []
         for lst, qis in wanted_.items():
-            sub = df[df["ivf_list"] == lst]
-            if sub.empty:
+            sub = t.filter(pc.equal(t["ivf_list"], lst))
+            if not sub.num_rows:
                 continue
-            ids, mm = _batch_matrix(sub)
-            sims = _normalize(mm) @ qn_.T
+            ids, mm = _unpack(sub)
+            sims = mm @ qn_.T  # blocks stored pre-normalized
             for qi in qis:
                 qid = qids_[qi]
                 idx = np.nonzero(ids != qid)[0]
@@ -220,7 +281,7 @@ def ivf_topk(
             )
         return pd.concat(rows, ignore_index=True)
 
-    parts = listed.map_batches(partial, batch_format="pandas").take_all()
+    parts = listed.map_batches(partial, batch_format="pyarrow").take_all()
     best: dict[int, list[tuple[float, int]]] = {}
     for r in parts:
         best.setdefault(int(r["query_id"]), []).append(
@@ -260,12 +321,11 @@ def lsh_bucket_topk(
         bits = (m @ planes_) > 0
         return (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
         planes_ = ray.get(pref)
         ids, m = _batch_matrix(df)
-        out = df[["vec_id", "embedding"]].copy()
-        out["bucket"] = bucket_of(_normalize(m), planes_)
-        return out
+        mn = _normalize(m)
+        return _pack(ids, mn, {"bucket": bucket_of(mn, planes_)})
 
     bucketed = embeddings.map_batches(add_bucket, batch_format="pandas")
 
@@ -284,15 +344,17 @@ def lsh_bucket_topk(
             wanted.setdefault(bb, []).append(qi)
     wref = ray.put((qids, qn, wanted))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         qids_, qn_, wanted_ = ray.get(wref)
         rows = []
         for bb, qis in wanted_.items():
-            sub = df[df["bucket"] == bb]
-            if sub.empty:
+            sub = t.filter(pc.equal(t["bucket"], bb))
+            if not sub.num_rows:
                 continue
-            ids, m = _batch_matrix(sub)
-            sims = _normalize(m) @ qn_.T
+            ids, m = _unpack(sub)
+            sims = m @ qn_.T  # blocks stored pre-normalized
             for qi in qis:
                 qid = qids_[qi]
                 mask = ids != qid
@@ -314,7 +376,7 @@ def lsh_bucket_topk(
             )
         return pd.concat(rows, ignore_index=True)
 
-    parts = bucketed.map_batches(partial, batch_format="pandas").take_all()
+    parts = bucketed.map_batches(partial, batch_format="pyarrow").take_all()
     best: dict[int, list[tuple[float, int]]] = {}
     for r in parts:
         best.setdefault(int(r["query_id"]), []).append(
