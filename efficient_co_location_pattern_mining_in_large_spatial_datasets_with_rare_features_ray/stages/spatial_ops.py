@@ -2,13 +2,12 @@
 rasterize, hierarchical cell ids.
 
 These are the service operators a tiling engine exposes around the
-mining core. The kNN/PIP stages are stateful actor pools: the index is
-built ONCE per actor in __init__ from a broadcast reference
-(``ray.put``), then every batch is answered vectorized. At 10^12-row
-scale the broadcast side becomes a partition-aligned index (one actor
-pool per spatial partition, queries routed by cell) -- same actor
-signature, different routing; documented here, demonstrated in the
-broadcast regime the testdata fits.
+mining core. kNN is TILE-ROUTED: points hash-partition by coarse tile
+and queries replicate only to the tiles of their current search ring
+(ring doubles until the k-th distance is provably covered) -- the point
+set is never broadcast. PIP is a stateful actor pool: the (genuinely
+small) polygon set is broadcast once per actor via ``ray.put`` and every
+batch is ray-cast vectorized.
 """
 
 from __future__ import annotations
@@ -21,103 +20,173 @@ import ray
 from ray.data import Dataset
 
 
-class GridKNN:
-    """Actor-pool kNN: grid-hash index over the broadcast point set,
-    expanding-ring search per query batch (vectorized per ring)."""
+def _knn_local_topk(k: int):
+    """Per-tile kernel for the routed kNN: the group holds this tile
+    bucket's POINT rows (kind=0) and the QUERY rows routed to its tiles
+    (kind=1); each query scans only its target tile's points,
+    vectorized, and emits that tile's top-k candidates."""
 
-    def __init__(self, points_ref, cell: float, k: int):
-        ids, xs, ys = ray.get(points_ref)
-        self.ids = ids
-        self.xy = np.stack([xs, ys], axis=1)
-        self.cell = float(cell)
-        self.k = int(k)
-        cx = np.floor(xs / self.cell).astype(np.int64)
-        cy = np.floor(ys / self.cell).astype(np.int64)
-        self.index: dict[tuple[int, int], np.ndarray] = {}
-        order = np.lexsort((cy, cx))
-        key = np.stack([cx[order], cy[order]], axis=1)
-        if len(order):
-            change = np.nonzero(np.any(np.diff(key, axis=0) != 0, axis=1))[0] + 1
-            for grp in np.split(order, change):
-                self.index[(int(cx[grp[0]]), int(cy[grp[0]]))] = grp
-
-    def _candidates(self, qx: float, qy: float, ring: int) -> np.ndarray:
-        cx, cy = int(np.floor(qx / self.cell)), int(np.floor(qy / self.cell))
-        out = []
-        for dx in range(-ring, ring + 1):
-            for dy in range(-ring, ring + 1):
-                grp = self.index.get((cx + dx, cy + dy))
-                if grp is not None:
-                    out.append(grp)
-        return np.concatenate(out) if out else np.empty(0, np.int64)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        qids = batch["query_id"].to_numpy(zero_copy_only=False)
-        qx = batch["x"].to_numpy(zero_copy_only=False)
-        qy = batch["y"].to_numpy(zero_copy_only=False)
-        out_q, out_n, out_d, out_r = [], [], [], []
-        for i in range(len(qids)):
-            ring = 1
-            while True:
-                cand = self._candidates(qx[i], qy[i], ring)
-                # ring is sufficient once k found AND the k-th distance is
-                # covered by the searched radius (ring*cell)
-                if cand.size >= self.k:
-                    dx = self.xy[cand, 0] - qx[i]
-                    dy = self.xy[cand, 1] - qy[i]
-                    d = np.sqrt(dx * dx + dy * dy)  # sqrt(dx^2+dy^2), not
-                    # hypot: bit-identical to the SQL oracle's formula
-                    kth = np.partition(d, self.k - 1)[self.k - 1]
-                    if kth <= ring * self.cell or cand.size == len(self.ids):
-                        break
-                elif cand.size == len(self.ids):
-                    dx = self.xy[cand, 0] - qx[i]
-                    dy = self.xy[cand, 1] - qy[i]
-                    d = np.sqrt(dx * dx + dy * dy)
-                    break
-                ring += 1
-            kk = min(self.k, cand.size)
-            # deterministic order: (distance, id)
-            sel = sorted(range(cand.size), key=lambda j: (d[j], self.ids[cand[j]]))[:kk]
-            for rank, j in enumerate(sel):
-                out_q.append(qids[i])
-                out_n.append(self.ids[cand[j]])
-                out_d.append(round(float(d[j]), 6))
-                out_r.append(rank + 1)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.string()),
-                "nbr_id": pa.array(out_n, pa.string()),
-                "dist": pa.array(out_d, pa.float64()),
-                "rank": pa.array(out_r, pa.int32()),
-            }
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": np.empty(0, object), "nbr_id": np.empty(0, object),
+             "dist": np.empty(0, np.float64)}
         )
+        if df.empty:
+            return empty
+        out_q, out_n, out_d = [], [], []
+        for _, sub in df.groupby(["tx", "ty"], sort=False):
+            pts = sub[sub["kind"] == 0]
+            qs = sub[sub["kind"] == 1]
+            if pts.empty or qs.empty:
+                continue
+            px = pts["x"].to_numpy(np.float64)
+            py = pts["y"].to_numpy(np.float64)
+            pid = pts["sid"].to_numpy(object)
+            for qid, qx, qy in zip(qs["sid"], qs["x"], qs["y"]):
+                dx = px - qx
+                dy = py - qy
+                d = np.sqrt(dx * dx + dy * dy)  # matches the SQL formula
+                kk = min(k, len(d))
+                sel = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+                out_q.extend([qid] * len(sel))
+                out_n.extend(pid[sel].tolist())
+                out_d.extend(d[sel].tolist())
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, object),
+             "nbr_id": np.asarray(out_n, object),
+             "dist": np.asarray(out_d, np.float64)}
+        )
+
+    return fn
 
 
 def knn(
     instances: Dataset,
     queries: Dataset,
     k: int = 5,
-    cell: float = 50.0,
-    concurrency: int = 2,
+    tile: float = 250.0,
+    n_buckets: int = 32,
 ) -> Dataset:
-    """queries(query_id, x, y) -> (query_id, nbr_id, dist, rank<=k).
-    The point set is broadcast once (ray.put) and indexed once per actor."""
-    pts = instances.to_pandas()
-    ref = ray.put(
-        (
-            pts["instance_id"].to_numpy(dtype=object),
-            pts["x"].to_numpy(np.float64),
-            pts["y"].to_numpy(np.float64),
+    """Exact kNN via TILE-ROUTED search with ring escalation -- the
+    point set is never broadcast or driver-materialized (kNN at
+    10^12-point scale).
+
+    Points are hash-partitioned by coarse tile. Each query (queries are
+    the small side by contract -- they form the routing table) is
+    replicated to the tiles within its current search ring; a bucketed
+    groupby computes per-tile top-k candidates against ONLY those
+    tiles' points. A query is resolved when its k-th candidate distance
+    is <= the distance to the searched region's boundary (no outside
+    point can beat it) or when the region covers the data bbox;
+    unresolved queries escalate the ring (doubling) and re-route.
+
+    Output (query_id, nbr_id, dist, rank<=k), dist rounded to 6,
+    deterministic (dist, nbr_id) tie order."""
+    qdf = queries.to_pandas()
+    out_schema = {
+        "query_id": pa.array([], pa.string()), "nbr_id": pa.array([], pa.string()),
+        "dist": pa.array([], pa.float64()), "rank": pa.array([], pa.int32()),
+    }
+    if qdf.empty:
+        return ray.data.from_arrow(pa.table(out_schema))
+
+    # data bbox via Dataset aggregates (for the coverage stop rule)
+    from ray.data.aggregate import Max, Min
+
+    bbox = instances.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    xmin, xmax = bbox["min(x)"], bbox["max(x)"]
+    ymin, ymax = bbox["min(y)"], bbox["max(y)"]
+
+    def tag_points(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tx": np.floor(df["x"].to_numpy(np.float64) / tile).astype(np.int64),
+                "ty": np.floor(df["y"].to_numpy(np.float64) / tile).astype(np.int64),
+                "kind": np.zeros(len(df), np.int8),
+                "sid": df["instance_id"].to_numpy(object),
+                "x": df["x"].to_numpy(np.float64),
+                "y": df["y"].to_numpy(np.float64),
+            }
         )
+
+    pts = instances.map_batches(tag_points, batch_format="pandas").materialize()
+
+    pending = qdf.rename(columns={"query_id": "sid"})[["sid", "x", "y"]]
+    results: list[pd.DataFrame] = []
+    ring = 1
+    while len(pending):
+        qx = pending["x"].to_numpy(np.float64)
+        qy = pending["y"].to_numpy(np.float64)
+        htx = np.floor(qx / tile).astype(np.int64)
+        hty = np.floor(qy / tile).astype(np.int64)
+        rep_rows = []
+        for i in range(len(pending)):
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    rep_rows.append(
+                        (htx[i] + dx, hty[i] + dy, 1,
+                         pending["sid"].iloc[i], qx[i], qy[i])
+                    )
+        rep = pd.DataFrame(
+            rep_rows, columns=["tx", "ty", "kind", "sid", "x", "y"]
+        ).astype({"tx": np.int64, "ty": np.int64, "kind": np.int8,
+                  "x": np.float64, "y": np.float64})
+        cand = (
+            pts.union(ray.data.from_pandas(rep))
+            .map_batches(
+                lambda df: df.assign(
+                    tb=(df["tx"].to_numpy(np.int64) * 1000003
+                        + df["ty"].to_numpy(np.int64)) % n_buckets
+                ),
+                batch_format="pandas",
+            )
+            .groupby("tb")
+            .map_groups(_knn_local_topk(k), batch_format="pandas")
+            .to_pandas()
+        )
+        # searched square per query: [ (h-r)T , (h+r+1)T )
+        sx_lo = (htx - ring) * tile
+        sx_hi = (htx + ring + 1) * tile
+        sy_lo = (hty - ring) * tile
+        sy_hi = (hty + ring + 1) * tile
+        boundary = np.minimum.reduce(
+            [qx - sx_lo, sx_hi - qx, qy - sy_lo, sy_hi - qy]
+        )
+        covers_bbox = (
+            (sx_lo <= xmin) & (sx_hi > xmax) & (sy_lo <= ymin) & (sy_hi > ymax)
+        )
+        still = []
+        for i, sid in enumerate(pending["sid"]):
+            sub = cand[cand["query_id"] == sid]
+            sub = sub.sort_values(
+                ["dist", "nbr_id"], kind="stable").head(k)
+            kth = sub["dist"].iloc[-1] if len(sub) >= k else np.inf
+            if kth <= boundary[i] or covers_bbox[i]:
+                sub = sub.copy()
+                sub["rank"] = np.arange(1, len(sub) + 1, dtype=np.int32)
+                results.append(sub)
+            else:
+                still.append(i)
+        pending = pending.iloc[still]
+        ring *= 2
+    out = (
+        pd.concat(results, ignore_index=True)
+        if results
+        else pd.DataFrame({c: [] for c in ("query_id", "nbr_id", "dist", "rank")})
     )
-    return queries.map_batches(
-        GridKNN,
-        fn_constructor_kwargs={"points_ref": ref, "cell": cell, "k": k},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
-        num_cpus=1,
+    out["dist"] = np.round(out["dist"].to_numpy(np.float64), 6)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(out["query_id"].astype(str), pa.string()),
+                "nbr_id": pa.array(out["nbr_id"].astype(str), pa.string()),
+                "dist": pa.array(out["dist"].to_numpy(np.float64), pa.float64()),
+                "rank": pa.array(out["rank"].to_numpy(np.int32), pa.int32()),
+            }
+        )
     )
 
 

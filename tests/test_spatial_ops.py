@@ -37,7 +37,7 @@ def test_knn_matches_bruteforce(ray_session, points):
             for i in (0, 37, 250)
         ]
     )
-    got = knn(inst, qdf, k=6, cell=40.0).take_all()
+    got = knn(inst, qdf, k=6, tile=40.0).take_all()
     by_q = {}
     for r in got:
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["nbr_id"], r["dist"]))
@@ -49,6 +49,22 @@ def test_knn_matches_bruteforce(ray_session, points):
         want = [(rank + 1, str(ids[j]), round(float(d[j]), 6))
                 for rank, j in enumerate(order)]
         assert sorted(by_q[str(ids[qi])]) == want
+
+
+def test_knn_ring_escalation_sparse(ray_session):
+    """A query whose first ring holds < k points must escalate rings and
+    still return the exact global kNN (the far cluster)."""
+    ids = np.array([f"P{i}" for i in range(8)], dtype=object)
+    feats = np.array(["A"] * 8, dtype=object)
+    # query point isolated at origin; 7 points in a far cluster at ~900
+    x = np.array([0.0, 900, 901, 902, 903, 904, 905, 906])
+    y = np.array([0.0, 900, 901, 902, 903, 904, 905, 906])
+    inst = from_numpy(ids, feats, x, y, parallelism=2)
+    qdf = ray.data.from_items([{"query_id": "P0", "x": 0.0, "y": 0.0}])
+    got = knn(inst, qdf, k=4, tile=50.0).take_all()
+    assert [r["nbr_id"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        "P0", "P1", "P2", "P3"
+    ]
 
 
 def test_point_in_polygon_general():
