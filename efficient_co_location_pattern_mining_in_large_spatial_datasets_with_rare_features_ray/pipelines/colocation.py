@@ -175,6 +175,7 @@ def mine_coordinated(
         ShardMiner,
         build_shard_stars,
         coordinated_level_loop,
+        encode_instance_ids,
     )
     from ..state.checkpoint import checkpoint_dataset, is_complete
 
@@ -185,6 +186,10 @@ def mine_coordinated(
         counts, scanned_origin = scan_metadata(instances)
         ctx = FeatureContext(counts)
         origin = origin or scanned_origin
+    # dictionary-encode instance ids to dense global int64 codes: the
+    # whole sharded path (stars, shard hashing, per-level distinct
+    # exchange) then runs on vectorized int64 ops instead of strings
+    instances = encode_instance_ids(instances)
     total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     if n_shards is None:
         # constant, cluster-size-independent: star replication depends on
@@ -212,6 +217,7 @@ def mine_coordinated(
         "d": cfg.neighbor_distance,
         "n_shards": n_shards,
         "counts": sorted(ctx.counts.items()),
+        "layout": "int64-codes-v2",  # invalidates pre-encoding checkpoints
     }
     stage_dir = f"{work_dir}/shard_stars"
 

@@ -35,7 +35,9 @@ def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
     """All qualifying pairs within one tile group (home points + halo).
     Loops over home cells (small, side=d) with numpy distance math inside;
     pair order within the output is canonicalized a_id < b_id so the pair
-    table is deterministic under any partitioning."""
+    table is deterministic under any partitioning. Ids may be strings
+    (reference layout) or int64 dictionary codes (the salted path);
+    output id dtype follows the input."""
     ids = df["instance_id"].to_numpy()
     feats = df["feature"].to_numpy()
     xs = df["x"].to_numpy(dtype=np.float64)
@@ -82,8 +84,16 @@ def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
             jj = np.tile(other, hgrp.size)
             emit(ii, jj)
 
+    id_type = pa.int64() if np.issubdtype(ids.dtype, np.integer) else pa.string()
     if not ai:
-        return PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a_id": pa.array([], id_type),
+                "a_feature": pa.array([], pa.string()),
+                "b_id": pa.array([], id_type),
+                "b_feature": pa.array([], pa.string()),
+            }
+        )
     a = np.concatenate(ai)
     b = np.concatenate(bi)
     swap = ids[a] > ids[b]
@@ -91,9 +101,9 @@ def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
     b2 = np.where(swap, a, b)
     return pa.table(
         {
-            "a_id": pa.array(ids[a2], type=pa.string()),
+            "a_id": pa.array(ids[a2], type=id_type),
             "a_feature": pa.array(feats[a2], type=pa.string()),
-            "b_id": pa.array(ids[b2], type=pa.string()),
+            "b_id": pa.array(ids[b2], type=id_type),
             "b_feature": pa.array(feats[b2], type=pa.string()),
         }
     )

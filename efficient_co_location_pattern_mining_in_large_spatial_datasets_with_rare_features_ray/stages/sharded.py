@@ -25,6 +25,14 @@ removes both limits by *salting on the root instance*:
 Shard inputs are written as one parquet directory per shard -- that
 checkpoint is the resume point (state/checkpoint.py) and the actor
 load path.
+
+The whole path is INT-NATIVE: instance ids are dictionary-encoded once
+into dense global int64 codes (``encode_instance_ids``, a sort-rank
+pass), so stars ship ``list<int64>`` instead of strings, shard hashing
+and the per-level distinct-participant exchange are vectorized int64
+ops, and reducers dedupe a single packed (key<<32 | id) int64 array
+with one ``np.unique``. The in-actor arrays use int32 (codes are dense,
+so this holds to 2^31 instances; widen to int64 beyond that).
 """
 
 from __future__ import annotations
@@ -45,19 +53,59 @@ from .stars import _stable_bucket
 SHARD_STAR_SCHEMA = pa.schema(
     [
         ("shard", pa.int32()),
-        ("center_id", pa.string()),
+        ("center_id", pa.int64()),
         ("center_feature", pa.string()),
         ("nbr_feature", pa.string()),
-        ("nbr_ids", pa.list_(pa.string())),
+        ("nbr_ids", pa.list_(pa.int64())),
     ]
 )
 
 
 def shard_of(ids: pd.Series | np.ndarray, n_shards: int) -> np.ndarray:
-    arr = ids.to_numpy(dtype=object) if isinstance(ids, pd.Series) else ids
+    arr = ids.to_numpy() if isinstance(ids, pd.Series) else ids
+    if not np.issubdtype(arr.dtype, np.integer):
+        arr = np.asarray(arr, dtype=object)
     return (
         pd.util.hash_array(arr, categorize=False) % np.uint64(n_shards)
     ).astype(np.int32)
+
+
+def encode_instance_ids(instances) -> "Dataset":
+    """Dictionary-encode instance_id to dense global int64 codes
+    (sort-rank): one distributed sort of the instance table, then each
+    sorted block's rows get codes offset + arange. Codes are the ONLY
+    instance identity the salted path ever touches (patterns carry no
+    instance ids, so nothing is decoded back). At 10^12 rows this is a
+    standard one-off dictionary-encode sort; the codes then make every
+    later exchange an int64 op instead of a string op."""
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _code_block(t: pa.Table, offset: int) -> pa.Table:
+        cols = {
+            "instance_id": pa.array(
+                np.arange(offset, offset + t.num_rows, dtype=np.int64),
+                pa.int64(),
+            )
+        }
+        for name in t.column_names:
+            if name != "instance_id":
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    sorted_ds = instances.sort("instance_id").materialize()
+    refs = sorted_ds.to_arrow_refs()
+    ns = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(ns)])
+    coded = [
+        _code_block.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])
+    ]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(coded)
 
 
 def directed_keyed_edges_sharded(
@@ -120,10 +168,10 @@ def build_shard_stars(
         return pa.Table.from_arrays(
             [
                 pa.array(out["shard"].to_numpy(np.int32), pa.int32()),
-                pa.array(out["key"], pa.string()),
+                pa.array(out["key"].to_numpy(np.int64), pa.int64()),
                 pa.array(out["feat"], pa.string()),
                 pa.array(out["other_feat"], pa.string()),
-                pa.array(out["other"].tolist(), pa.list_(pa.string())),
+                pa.array(out["other"].tolist(), pa.list_(pa.int64())),
             ],
             schema=SHARD_STAR_SCHEMA,
         )
@@ -148,7 +196,6 @@ class ShardMiner:
         self.n_shards = n_shards
         self.index: dict[tuple[int, str], np.ndarray] = {}
         self.tables: dict[tuple[str, ...], np.ndarray] = {}
-        self.ids: np.ndarray | None = None
 
     def load(self, star_dir: str) -> int:
         """Read this actor's shard partitions (parquet checkpoint path)."""
@@ -160,7 +207,6 @@ class ShardMiner:
         for s in self.shards:
             parts.extend(sorted(glob.glob(f"{star_dir}/shard={s}/*.parquet")))
         if not parts:
-            self.ids = np.empty(0, dtype=object)
             return 0
         return self._build(pa.concat_tables([pq.read_table(p) for p in parts]))
 
@@ -184,7 +230,6 @@ class ShardMiner:
             if mask.any():
                 kept.append(t.filter(pa.array(mask)))
         if not kept:
-            self.ids = np.empty(0, dtype=object)
             return 0
         return self._build(pa.concat_tables(kept))
 
@@ -194,7 +239,6 @@ class ShardMiner:
         once, in parallel, over the blocks (split_block below)."""
         kept = [t for t in ray.get(list(sub_refs)) if t.num_rows]
         if not kept:
-            self.ids = np.empty(0, dtype=object)
             return 0
         return self._build(pa.concat_tables(kept))
 
@@ -206,38 +250,34 @@ class ShardMiner:
         return self._build_arrays(center_ids, center_feats, nbr_feats, col)
 
     def _build_arrays(self, center_ids, center_feats, nbr_feats, col) -> int:
+        """Ids arrive as GLOBAL dense int64 codes (encode_instance_ids):
+        no per-actor interning -- the star index keys and neighbor arrays
+        use the codes directly (int32 in-memory; codes are dense so this
+        holds to 2^31 instances)."""
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)
         offsets = col.offsets.to_numpy()
-        flat = col.values.to_numpy(zero_copy_only=False)
-        # vectorized id interning (C-speed factorize, no python dict pass)
-        codes, uniques = pd.factorize(
-            np.concatenate([center_ids, flat]), sort=False
-        )
-        self.ids = np.asarray(uniques, dtype=object)
-        cidx = codes[: len(center_ids)].astype(np.int64)
-        fidx = codes[len(center_ids):].astype(np.int32)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int32)
+        cidx = np.asarray(center_ids, np.int64)
         # neighbor lists are unique by construction (one row per (center,
         # nbr_feat), ids from the deduped pair set) -> slice views suffice;
         # expand's intersect1d(assume_unique=True) needs uniqueness, not order
-        for r in range(len(center_ids)):
+        for r in range(len(cidx)):
             lo, hi = offsets[r], offsets[r + 1]
-            self.index[(int(cidx[r]), nbr_feats[r])] = fidx[lo:hi]
-        # T1: roots owned by this actor's shards, grouped by feature
+            self.index[(int(cidx[r]), nbr_feats[r])] = flat[lo:hi]
+        # T1: roots owned by this actor's shards, deduped + grouped by
+        # feature (vectorized -- one drop_duplicates, no python set pass)
         root_mask = np.isin(
-            shard_of(center_ids, self.n_shards), np.asarray(self.shards, np.int32)
+            shard_of(cidx, self.n_shards), np.asarray(self.shards, np.int32)
         )
-        t1: dict[str, list[int]] = {}
-        seen: set[int] = set()
-        for i in np.nonzero(root_mask)[0]:
-            li = int(cidx[i])
-            if li not in seen:
-                seen.add(li)
-                t1.setdefault(center_feats[i], []).append(li)
+        roots = pd.DataFrame(
+            {"f": center_feats[root_mask], "c": cidx[root_mask]}
+        ).drop_duplicates()
         self.tables = {
-            (f,): np.asarray(v, np.int32).reshape(-1, 1) for f, v in t1.items()
+            (f,): sub["c"].to_numpy(np.int32).reshape(-1, 1)
+            for f, sub in roots.groupby("f", sort=False)
         }
-        return int(len(center_ids))
+        return int(len(cidx))
 
     def expand_partitioned(
         self, candidates: list[tuple[str, ...]], n_reducers: int
@@ -247,7 +287,9 @@ class ShardMiner:
         exact-distinct union runs as a parallel reduce (no sketches, no
         driver loop over raw ids). Keys are globally consistent ints
         (candidate_index * MAX_K + slot -- every shard receives the same
-        candidates list), so reducers need no key translation."""
+        candidates list), so reducers need no key translation. The
+        payload is ONE packed int64 array per reducer (key << 32 | id):
+        global dense codes make the exchange a vectorized int op."""
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -255,8 +297,7 @@ class ShardMiner:
         _t1 = _time.perf_counter()
         counts: dict[int, int] = {}
         root_dist: dict[int, int] = {}
-        key_chunks: list[np.ndarray] = []
-        id_chunks: list[np.ndarray] = []
+        packed_chunks: list[np.ndarray] = []
         cand_index = {c: j for j, c in enumerate(candidates)}
         for cand, rows in new_tables.items():
             j = cand_index[cand]
@@ -266,24 +307,21 @@ class ShardMiner:
             # no ids shipped for the root slot
             root_dist[j] = int(np.unique(rows[:, 0]).size)
             for i in range(1, rows.shape[1]):
-                ids = self.ids[np.unique(rows[:, i])]
-                key_chunks.append(
-                    np.full(ids.size, j * MAX_K + i, dtype=np.int64)
+                ids = np.unique(rows[:, i]).astype(np.int64)
+                packed_chunks.append(
+                    (np.int64(j * MAX_K + i) << np.int64(32)) | ids
                 )
-                id_chunks.append(ids)
         self.tables = new_tables
-        if id_chunks:
-            ids_all = np.concatenate(id_chunks)
-            keys_all = np.concatenate(key_chunks)
-            h = pd.util.hash_array(ids_all, categorize=False) % np.uint64(
-                n_reducers
-            )
-            refs = []
-            for r in range(n_reducers):
-                m = h == r
-                refs.append(ray.put((keys_all[m], ids_all[m])))
+        if packed_chunks:
+            packed = np.concatenate(packed_chunks)
+            # partition by the ID half so the same instance meets itself
+            # in one reducer regardless of key
+            h = pd.util.hash_array(
+                packed & np.int64(0xFFFFFFFF), categorize=False
+            ) % np.uint64(n_reducers)
+            refs = [ray.put(packed[h == r]) for r in range(n_reducers)]
         else:
-            empty = (np.empty(0, np.int64), np.empty(0, dtype=object))
+            empty = np.empty(0, np.int64)
             refs = [ray.put(empty) for _ in range(n_reducers)]
         timings = {
             "expand_s": round(_t1 - _t0, 3),
@@ -333,15 +371,15 @@ def split_block(t, n_shards: int):
 
 @ray.remote
 def reduce_distinct(*parts) -> dict:
-    """Exact per-key distinct count over this reducer's hash range:
-    vectorized pandas drop_duplicates (C-speed hash dedupe, no Python
-    per-id loop)."""
-    keys = np.concatenate([p[0] for p in parts])
-    ids = np.concatenate([p[1] for p in parts])
-    if not len(keys):
+    """Exact per-key distinct count over this reducer's hash range: one
+    np.unique over the packed (key << 32 | id) int64 arrays, then a
+    per-key count of the surviving uniques. No strings, no pandas."""
+    packed = np.concatenate(parts)
+    if not packed.size:
         return {}
-    df = pd.DataFrame({"k": keys, "id": ids}).drop_duplicates()
-    return df.groupby("k").size().to_dict()
+    u = np.unique(packed)
+    keys, counts = np.unique(u >> np.int64(32), return_counts=True)
+    return dict(zip(keys.tolist(), counts.tolist()))
 
 
 def coordinated_level_loop(

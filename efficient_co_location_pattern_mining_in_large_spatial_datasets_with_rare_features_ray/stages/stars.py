@@ -45,10 +45,13 @@ STAR_SCHEMA = pa.schema(
 
 def _stable_bucket(keys: pd.Series, n_buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket (pandas hash_array uses a
-    fixed key; python's hash() is salted per process and must not be used)."""
+    fixed key; python's hash() is salted per process and must not be
+    used). Integer keys take the vectorized int64 fast path."""
+    arr = keys.to_numpy()
+    if not np.issubdtype(arr.dtype, np.integer):
+        arr = keys.to_numpy(dtype=object)
     return (
-        pd.util.hash_array(keys.to_numpy(dtype=object), categorize=False)
-        % np.uint64(n_buckets)
+        pd.util.hash_array(arr, categorize=False) % np.uint64(n_buckets)
     ).astype(np.int64)
 
 
