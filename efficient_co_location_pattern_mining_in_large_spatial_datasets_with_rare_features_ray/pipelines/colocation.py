@@ -118,6 +118,8 @@ def mine(
 ) -> MiningRun:
     """Run the full pipeline. ``instances`` must have columns
     (instance_id: string, feature: string, x: float64, y: float64)."""
+    from ..stages.sharded import encode_instance_ids
+
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
     origin = cfg.grid_origin
@@ -127,6 +129,9 @@ def mine(
         origin = origin or scanned_origin
     elif origin is None:
         origin = global_origin(instances)
+    # dictionary-encode instance ids once: every later exchange (pair
+    # table, star lists, subtree shuffle) moves int64 instead of strings
+    instances = encode_instance_ids(instances)
     pairs = neighbor_pairs(instances, cfg, origin=origin)
     stars = build_stars(pairs, ctx, cfg)
     patterns = mine_subtrees(stars, ctx, cfg)

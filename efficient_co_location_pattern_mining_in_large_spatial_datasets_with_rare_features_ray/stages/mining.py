@@ -46,20 +46,20 @@ def _mine_group(
     offsets = nbr_col.offsets.to_numpy()
     flat_ids = nbr_col.values.to_numpy(zero_copy_only=False)
 
-    # local integer ids over every instance mentioned
-    all_ids = np.unique(np.concatenate([center_ids, flat_ids]))
-    idx_of = {s: i for i, s in enumerate(all_ids)}
-    center_idx = np.fromiter(
-        (idx_of[s] for s in center_ids), dtype=np.int64, count=len(center_ids)
-    )
-    flat_idx = np.fromiter(
-        (idx_of[s] for s in flat_ids), dtype=np.int32, count=len(flat_ids)
-    )
+    # local integer ids over every instance mentioned: one C-speed
+    # factorize, no per-element Python loop
+    import pandas as pd
 
+    codes, _ = pd.factorize(np.concatenate([center_ids, flat_ids]), sort=False)
+    center_idx = codes[: len(center_ids)].astype(np.int64)
+    flat_idx = codes[len(center_ids):].astype(np.int32)
+
+    # neighbor lists are unique by construction (one row per (center,
+    # nbr_feat) over the deduped pair set) -> slice views suffice
     index: dict[tuple[int, str], np.ndarray] = {}
     for r in range(len(center_ids)):
         lo, hi = offsets[r], offsets[r + 1]
-        index[(int(center_idx[r]), nbr_feats[r])] = np.unique(flat_idx[lo:hi])
+        index[(int(center_idx[r]), nbr_feats[r])] = flat_idx[lo:hi]
 
     # T1 for the root: distinct root-feature centers present in this group
     root_centers = np.unique(center_idx[center_feats == root]).astype(np.int32)

@@ -18,7 +18,8 @@ star builder (src/neighborhood_mgr.cpp:42-87) and its pointer NR-tree
    (``subtree_feature``), giving the mining shuffle its partition key.
 
 Output schema: (subtree, center_id, center_feature, nbr_feature,
-nbr_ids: list<string>).
+nbr_ids) -- id columns are int64 dictionary codes when the caller
+encoded instance ids (mine() does), else raw strings.
 """
 
 from __future__ import annotations
@@ -31,17 +32,6 @@ from ray.data import Dataset
 
 from ..canonical import FeatureContext
 from ..config import MiningConfig
-
-STAR_SCHEMA = pa.schema(
-    [
-        ("subtree", pa.string()),
-        ("center_id", pa.string()),
-        ("center_feature", pa.string()),
-        ("nbr_feature", pa.string()),
-        ("nbr_ids", pa.list_(pa.string())),
-    ]
-)
-
 
 def _stable_bucket(keys: pd.Series, n_buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket (pandas hash_array uses a
@@ -116,19 +106,32 @@ def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
         [own[["key", "subtree"]], extra[["key", "subtree"]]]
     ).drop_duplicates()
 
-    # explode: star rows x subtree keys (inner join on key)
+    # explode: star rows x subtree keys (inner join on key). Id dtype
+    # follows the input: int64 dictionary codes (mine() encodes ids
+    # first) or raw strings.
     out = lists.merge(subtrees, on="key", how="inner")
+    int_ids = np.issubdtype(df["key"].to_numpy().dtype, np.integer)
+    id_t = pa.int64() if int_ids else pa.string()
+    schema = pa.schema(
+        [
+            ("subtree", pa.string()),
+            ("center_id", id_t),
+            ("center_feature", pa.string()),
+            ("nbr_feature", pa.string()),
+            ("nbr_ids", pa.list_(id_t)),
+        ]
+    )
     if out.empty:
-        return STAR_SCHEMA.empty_table()
+        return schema.empty_table()
     return pa.Table.from_arrays(
         [
             pa.array(out["subtree"], type=pa.string()),
-            pa.array(out["key"], type=pa.string()),
+            pa.array(out["key"], type=id_t),
             pa.array(out["feat"], type=pa.string()),
             pa.array(out["other_feat"], type=pa.string()),
-            pa.array(out["other"].tolist(), type=pa.list_(pa.string())),
+            pa.array(out["other"].tolist(), type=pa.list_(id_t)),
         ],
-        schema=STAR_SCHEMA,
+        schema=schema,
     )
 
 
