@@ -12,7 +12,7 @@ import zlib
 
 import numpy as np
 
-from .text import char_shingles, md5_64
+from .text import char_shingles, char_shingles_str, md5_64
 
 MINHASH_PERMS = 128
 # 16 bands x 8 rows: the LSH S-curve threshold (1/b)^(1/r) = 0.707 sits ON
@@ -34,26 +34,66 @@ def _perm_params(n: int = MINHASH_PERMS, seed: int = 1234567):
 _A, _B = _perm_params()
 
 
+def mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod (2^61 - 1) for uint64 operands < 2^61,
+    vectorized without 128-bit ints: 32-bit limb split plus the Mersenne
+    reductions 2^64 = 2^3 and m*2^32 = (m >> 29) + (m & (2^29-1)) << 32
+    (all mod p). Matches arbitrary-precision HUGEINT math bit-for-bit --
+    the property the DuckDB oracle relies on."""
+    p = np.uint64(_MERSENNE)
+    a = a.astype(np.uint64)
+    x = x.astype(np.uint64)
+    m32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & m32
+    x1, x0 = x >> np.uint64(32), x & m32
+    hi = (a1 * x1) % p                      # coefficient of 2^64 == 2^3
+    mid = (a1 * x0 + a0 * x1) % p           # coefficient of 2^32
+    lo = (a0 * x0) % p
+    t_hi = (hi << np.uint64(3)) % p
+    t_mid = ((mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))) % p
+    return (t_hi + t_mid + lo) % p
+
+
+def hashed_shingles(text: str, k: int = 5) -> np.ndarray:
+    """md5_64-hashed lowercased character k-shingles, reduced mod
+    (2^61 - 1) -- identical to the DuckDB expression
+    md5-hex-prefix :: UBIGINT % p over substr windows."""
+    out = {md5_64(s) % _MERSENNE for s in char_shingles_str(text, k)}
+    return np.fromiter(out, np.uint64, len(out)) if out else np.empty(0, np.uint64)
+
+
 def minhash_signature(text: str, k: int = 5) -> np.ndarray:
-    """128-perm MinHash over crc32 char-5-shingles. uint64 signature."""
-    sh = char_shingles(text, k)
-    if not sh:
+    """128-perm MinHash over md5-hashed char-5-shingles; every operation
+    is exact mod-(2^61-1) arithmetic so the signature (and the LSH
+    banding built on it) is restatable in ANSI SQL. int64 signature;
+    empty text -> all int64-max sentinel."""
+    x = hashed_shingles(text, k)
+    if not x.size:
         return np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
-    x = np.fromiter(sh, dtype=np.int64, count=len(sh))
     # h_i(x) = (a_i * x + b_i) mod p, vectorized over shingles x perms
-    v = (x[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
-    return v.min(axis=1)
+    v = mulmod_mersenne61(
+        np.repeat(_A.astype(np.uint64), x.size),
+        np.tile(x, MINHASH_PERMS),
+    ).reshape(MINHASH_PERMS, x.size)
+    v = (v + _B.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+    return v.min(axis=1).astype(np.int64)
+
+
+BAND_HASH_MUL = 1000003
 
 
 def band_hashes(sig: np.ndarray, bands: int = MINHASH_BANDS) -> np.ndarray:
-    """Hash each band of the signature to one stable int64 bucket key."""
+    """Hash each band of the signature to one stable int64 bucket key:
+    ordered polynomial fold h = (h * 1000003 + v) mod (2^61 - 1) over
+    the band's rows -- SQL-restatable via list_reduce (python-int fold:
+    values < 2^63 so exact)."""
     rows = len(sig) // bands
     out = np.empty(bands, dtype=np.int64)
     for b in range(bands):
-        chunk = sig[b * rows : (b + 1) * rows].tobytes()
-        out[b] = int.from_bytes(
-            hashlib.blake2b(chunk, digest_size=8).digest(), "big", signed=True
-        )
+        h = 0
+        for v in sig[b * rows : (b + 1) * rows].tolist():
+            h = (h * BAND_HASH_MUL + v) % _MERSENNE
+        out[b] = h
     return out
 
 

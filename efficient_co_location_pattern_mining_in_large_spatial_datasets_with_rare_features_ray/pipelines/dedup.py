@@ -27,10 +27,11 @@ from ..functions.dedup import (
     MINHASH_BANDS,
     band_hashes,
     crc_bucket,
+    hashed_shingles,
     minhash_signature,
     simhash64,
 )
-from ..functions.text import char_shingles, char_shingles_str, jaccard
+from ..functions.text import char_shingles_str, jaccard
 
 
 def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
@@ -202,13 +203,14 @@ def minhash_verified_pairs(
             return empty
         needed = set(role_rows["doc_id"].tolist())
         doc_rows = df[df["kind"] == 1]
+        # md5-hashed shingles: the same values the minhash signature and
+        # the DuckDB oracle compute, so the exact-Jaccard verify agrees
+        # with SQL bit-for-bit
         sh = {
-            did: np.fromiter(s, np.int64, len(s)) if (s := char_shingles(t, shingle_k)) else np.empty(0, np.int64)
+            did: np.sort(hashed_shingles(t, shingle_k)).astype(np.int64)
             for did, t in zip(doc_rows["doc_id"], doc_rows["text"])
             if did in needed
         }
-        for v in sh.values():
-            v.sort()
         return pd.DataFrame(
             {
                 "a": role_rows["a"].to_numpy(np.int64),

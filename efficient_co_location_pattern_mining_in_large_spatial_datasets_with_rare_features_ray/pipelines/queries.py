@@ -753,6 +753,86 @@ UNION ALL
 SELECT doc_id, CAST(0 AS BIGINT) AS simhash
 FROM documents WHERE trim(text) = ''"""
 
+def _sql_minhash() -> str:
+    """Exact restatement of the FULL MinHash-LSH pipeline
+    (pipelines/dedup.minhash_verified_pairs): md5-64 char-5-shingles mod
+    (2^61-1), the 128 (a,b) permutation constants inlined, per-band
+    polynomial bucket hash via ordered list_reduce, bucket self-join
+    candidates, exact hashed-shingle Jaccard verify >= 0.7. Every
+    arithmetic step is mod-Mersenne61 HUGEINT math that the Python side
+    reproduces bit-for-bit (functions/dedup.mulmod_mersenne61)."""
+    import numpy as np
+
+    from ..functions.dedup import (
+        _A,
+        _B,
+        _MERSENNE,
+        BAND_HASH_MUL,
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        band_hashes,
+    )
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    perm_values = ", ".join(
+        f"({p}, {p // rows_per_band}, "
+        f"CAST({int(_A[p])} AS HUGEINT), CAST({int(_B[p])} AS HUGEINT))"
+        for p in range(MINHASH_PERMS)
+    )
+    empty_bh = int(
+        band_hashes(
+            np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
+        )[0]
+    )
+    p = _MERSENNE
+    return f"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN CAST([] AS HUGEINT[])
+              WHEN length(t) < 5 THEN
+                [CAST(CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT) AS HUGEINT) % {p}]
+              ELSE list_distinct(
+                [CAST(CAST(concat('0x', substr(md5(substr(t, x, 5)), 1, 16)) AS UBIGINT) AS HUGEINT) % {p}
+                 FOR x IN generate_series(1, length(t) - 4)])
+         END AS s
+  FROM lt
+),
+perm(p, band, a, b) AS (VALUES {perm_values}),
+expl AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+mins AS (
+  SELECT e.doc_id, perm.band, perm.p,
+         min((perm.a * e.x + perm.b) % {p}) AS v
+  FROM expl e CROSS JOIN perm
+  GROUP BY e.doc_id, perm.band, perm.p
+),
+bh AS (
+  SELECT doc_id, band,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT), list(v ORDER BY p)),
+                     (acc, xx) -> (acc * {BAND_HASH_MUL} + xx) % {p}) AS h
+  FROM mins GROUP BY doc_id, band
+  UNION ALL
+  SELECT sh.doc_id, b.band, CAST({empty_bh} AS HUGEINT) AS h
+  FROM sh, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band) b
+  WHERE len(sh.s) = 0
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bh x JOIN bh y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT c.a, c.b,
+         CASE WHEN len(sa.s) = 0 AND len(sb.s) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.s, sb.s))) END AS j
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+)
+SELECT a, b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.7"""
+
+
+SQL_MINHASH = _sql_minhash()
+
 # exact restatement of pipelines/dedup.ngram_jaccard_pairs: UNhashed
 # lowercased char-3-shingles, within-source pairs, jaccard >= 0.3
 SQL_NGRAM_JACCARD = """WITH sh AS (
@@ -867,9 +947,11 @@ DATA_SQL = {
     "doc_fingerprints": SQL_FINGERPRINTS,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
-    # dedup_minhash_lsh / ann_topk_lsh / ann_topk_ivf / corpus_clean:
-    # LSH banding or iterative -> rows-only in the driver; covered by
-    # unit/property tests (tests/test_text_dedup.py, tests/test_similarity.py).
+    "dedup_minhash_lsh": SQL_MINHASH,
+    # ann_topk_lsh / ann_topk_ivf / corpus_clean: float-geometry LSH/
+    # k-means bucketing or iterative propagation -> rows-only in the
+    # driver; covered by unit/property tests (tests/test_similarity.py,
+    # tests/test_corpus.py).
 }
 
 
