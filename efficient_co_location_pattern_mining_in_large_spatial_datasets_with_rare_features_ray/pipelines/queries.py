@@ -753,14 +753,16 @@ UNION ALL
 SELECT doc_id, CAST(0 AS BIGINT) AS simhash
 FROM documents WHERE trim(text) = ''"""
 
-def _sql_minhash() -> str:
-    """Exact restatement of the FULL MinHash-LSH pipeline
-    (pipelines/dedup.minhash_verified_pairs): md5-64 char-5-shingles mod
-    (2^61-1), the 128 (a,b) permutation constants inlined, per-band
-    polynomial bucket hash via ordered list_reduce, bucket self-join
-    candidates, exact hashed-shingle Jaccard verify >= 0.7. Every
-    arithmetic step is mod-Mersenne61 HUGEINT math that the Python side
-    reproduces bit-for-bit (functions/dedup.mulmod_mersenne61)."""
+def _sql_minhash_pairs(source: str, tau: float) -> str:
+    """Parenthesized subquery yielding (a, b, jaccard): exact
+    restatement of the FULL MinHash-LSH pipeline
+    (pipelines/dedup.minhash_verified_pairs) over ``source`` (any
+    relation with doc_id, text): md5-64 char-5-shingles mod (2^61-1),
+    the 128 (a,b) permutation constants inlined, per-band polynomial
+    bucket hash via ordered list_reduce, bucket self-join candidates,
+    exact hashed-shingle Jaccard verify >= tau. Every arithmetic step
+    is mod-Mersenne61 HUGEINT math that the Python side reproduces
+    bit-for-bit (functions/dedup.mulmod_mersenne61)."""
     import numpy as np
 
     from ..functions.dedup import (
@@ -785,7 +787,7 @@ def _sql_minhash() -> str:
         )[0]
     )
     p = _MERSENNE
-    return f"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+    return f"""(WITH lt AS (SELECT doc_id, lower(text) AS t FROM {source}),
 sh AS (
   SELECT doc_id,
          CASE WHEN length(t) = 0 THEN CAST([] AS HUGEINT[])
@@ -828,10 +830,60 @@ ver AS (
   JOIN sh sa ON sa.doc_id = c.a
   JOIN sh sb ON sb.doc_id = c.b
 )
-SELECT a, b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.7"""
+SELECT a, b, round(j, 6) AS jaccard FROM ver WHERE j >= {tau})"""
 
 
-SQL_MINHASH = _sql_minhash()
+SQL_MINHASH = (
+    f"SELECT a, b, jaccard FROM {_sql_minhash_pairs('documents', 0.7)} m"
+)
+
+def _sql_corpus_clean(min_words: int = 20, tau: float = 0.7) -> str:
+    """Exact restatement of pipelines/corpus.clean_corpus: quality gate
+    (n_words / stop_ratio as in doc_quality) -> exact dedup (min doc_id
+    per text among survivors) -> MinHash-LSH near-dup pairs over the
+    exact survivors (_sql_minhash_pairs) -> connected components via a
+    recursive transitive-closure CTE with min-root (equals the engine's
+    distributed min-label propagation). Output (doc_id, kept, reason)."""
+    stop = "'the','a','and','of','to','in','is','on','for','with'"
+    return f"""WITH RECURSIVE q AS (
+  SELECT doc_id, text,
+         (len(string_split_regex(trim(text), '\\s+')) >= {min_words}
+          AND round(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x IN ({stop}))) AS DOUBLE)
+                    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+              <= 0.9) AS q_ok
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text,
+         doc_id <> min(doc_id) OVER (PARTITION BY text) AS exact_dup
+  FROM q WHERE q_ok
+),
+surv AS (SELECT doc_id, text FROM e WHERE NOT exact_dup),
+nd AS (SELECT a, b FROM {_sql_minhash_pairs('surv', tau)} m),
+nodes AS (SELECT a AS n FROM nd UNION SELECT b AS n FROM nd),
+edges AS (SELECT a AS s, b AS d FROM nd UNION ALL SELECT b AS s, a AS d FROM nd),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e2.d FROM reach r JOIN edges e2 ON e2.s = r.dst
+),
+roots AS (SELECT src AS n, min(dst) AS root FROM reach GROUP BY src),
+final AS (
+  SELECT d.doc_id,
+         CASE WHEN NOT q.q_ok THEN 'quality'
+              WHEN COALESCE(e.exact_dup, FALSE) THEN 'exact_dup'
+              WHEN r.root IS NOT NULL AND r.root <> d.doc_id THEN 'near_dup'
+              ELSE '' END AS reason
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN e ON e.doc_id = d.doc_id
+  LEFT JOIN roots r ON r.n = d.doc_id
+)
+SELECT doc_id, (reason = '') AS kept, reason FROM final"""
+
+
+SQL_CORPUS_CLEAN = _sql_corpus_clean()
 
 # exact restatement of pipelines/dedup.ngram_jaccard_pairs: UNhashed
 # lowercased char-3-shingles, within-source pairs, jaccard >= 0.3
@@ -948,10 +1000,11 @@ DATA_SQL = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH,
-    # ann_topk_lsh / ann_topk_ivf / corpus_clean: float-geometry LSH/
-    # k-means bucketing or iterative propagation -> rows-only in the
-    # driver; covered by unit/property tests (tests/test_similarity.py,
-    # tests/test_corpus.py).
+    "corpus_clean": SQL_CORPUS_CLEAN,
+    # ann_topk_lsh / ann_topk_ivf: float-geometry bucketing (hyperplane
+    # signs / k-means) where DuckDB's float summation order can flip
+    # boundary buckets -> rows-only in the driver; recall-tested against
+    # the exact ann_topk baseline (tests/test_similarity.py).
 }
 
 
