@@ -123,15 +123,18 @@ def mine(
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
     origin = cfg.grid_origin
+    # dictionary-encode instance ids once: every later exchange (pair
+    # table, star lists, subtree shuffle) moves int64 instead of strings.
+    # The encode's sorted blocks are materialized, so the metadata scan
+    # below and the pair join read them from the object store -- the
+    # source is read exactly once per job.
+    instances = encode_instance_ids(instances)
     if ctx is None:
         counts, scanned_origin = scan_metadata(instances)
         ctx = FeatureContext(counts)
         origin = origin or scanned_origin
     elif origin is None:
         origin = global_origin(instances)
-    # dictionary-encode instance ids once: every later exchange (pair
-    # table, star lists, subtree shuffle) moves int64 instead of strings
-    instances = encode_instance_ids(instances)
     pairs = neighbor_pairs(instances, cfg, origin=origin)
     stars = build_stars(pairs, ctx, cfg)
     patterns = mine_subtrees(stars, ctx, cfg)
@@ -187,14 +190,16 @@ def mine_coordinated(
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
     origin = cfg.grid_origin
+    # dictionary-encode instance ids to dense global int64 codes: the
+    # whole sharded path (stars, shard hashing, per-level distinct
+    # exchange) then runs on vectorized int64 ops instead of strings.
+    # Encode FIRST: its sorted blocks are materialized, so the metadata
+    # scan and the pair join read the source exactly once per job.
+    instances = encode_instance_ids(instances)
     if ctx is None:
         counts, scanned_origin = scan_metadata(instances)
         ctx = FeatureContext(counts)
         origin = origin or scanned_origin
-    # dictionary-encode instance ids to dense global int64 codes: the
-    # whole sharded path (stars, shard hashing, per-level distinct
-    # exchange) then runs on vectorized int64 ops instead of strings
-    instances = encode_instance_ids(instances)
     total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     if n_shards is None:
         # constant, cluster-size-independent: star replication depends on
