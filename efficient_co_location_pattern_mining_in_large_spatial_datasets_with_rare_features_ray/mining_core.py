@@ -11,13 +11,14 @@ used in two modes:
   patterns whose canonically-first (rarest) feature is ``f``; Lemma 3 is
   invalid per-subtree and must be off (paper sec. 5.2).
 
-Instances are local int32 indices; the star index maps
-``(center_idx, neighbor_feature) -> sorted unique np.int32 array``
-(replaces the reference's O(levels) NR-tree walk, src/miner.cpp:219-260,
-with an O(1) dict lookup). Row-instance tables are ``pattern ->
-(n_rows, k) int32 ndarray``; all outputs (pattern sets, PR/PI/WPI,
-row counts) are order-insensitive, so no insertion-order state from the
-reference needs reproducing.
+Instances are int32 codes; the star index is a per-feature CSR
+(``StarCSR``: feature -> sorted center codes + offsets + flat neighbor
+codes) replacing the reference's O(levels) NR-tree walk
+(src/miner.cpp:219-260) with one vectorized searchsorted + range-gather
+per (candidate, slot) -- no per-row Python in the expansion hot path.
+Row-instance tables are ``pattern -> (n_rows, k) int32 ndarray``; all
+outputs (pattern sets, PR/PI/WPI, row counts) are order-insensitive, so
+no insertion-order state from the reference needs reproducing.
 """
 
 from __future__ import annotations
@@ -30,6 +31,106 @@ import numpy as np
 from .canonical import FeatureContext, select_metrics
 
 _EMPTY = np.empty(0, dtype=np.int32)
+
+
+def _range_gather(starts: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    """Indices covering [starts[i], starts[i]+cnts[i]) for every i,
+    concatenated -- the vectorized equivalent of per-row slicing."""
+    total = int(cnts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    base = np.repeat(starts.astype(np.int64), cnts)
+    csum = np.cumsum(cnts) - cnts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(csum, cnts)
+    return base + offs
+
+
+class StarCSR:
+    """Per-feature CSR star index: ``feature -> (sorted unique center
+    codes, offsets, flat neighbor codes)``. ``lookup(codes, f)`` resolves
+    a whole column of centers at once (searchsorted); absent centers get
+    count 0."""
+
+    __slots__ = ("by_feat",)
+
+    def __init__(self, by_feat: dict):
+        self.by_feat = by_feat
+
+    @classmethod
+    def from_rows(cls, center_codes, nbr_feats, offsets, flat) -> "StarCSR":
+        """Build from row-per-(center, nbr_feature) arrays with Arrow
+        list offsets -- fully vectorized (one lexsort). Duplicate
+        (feature, center) rows (shard replication) keep the first
+        occurrence; their payloads are identical by construction."""
+        import pandas as pd
+
+        centers = np.asarray(center_codes, np.int64)
+        n = len(centers)
+        by_feat: dict = {}
+        if n == 0:
+            return cls(by_feat)
+        fcodes, funiq = pd.factorize(nbr_feats, sort=False)
+        starts_all = np.asarray(offsets[:-1], np.int64)
+        lens_all = np.asarray(offsets[1:], np.int64) - starts_all
+        order = np.lexsort((centers, fcodes))
+        fo = fcodes[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(fo))[0] + 1, [n]]
+        )
+        flat = np.asarray(flat, np.int32)
+        for gi in range(len(bounds) - 1):
+            rows = order[bounds[gi]: bounds[gi + 1]]
+            f = funiq[fo[bounds[gi]]]
+            cen = centers[rows]
+            if len(cen) > 1:
+                keep = np.concatenate([[True], cen[1:] != cen[:-1]])
+                rows = rows[keep]
+                cen = cen[keep]
+            lens = lens_all[rows]
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            vals = flat[_range_gather(starts_all[rows], lens)]
+            by_feat[f] = (cen, offs, vals)
+        return cls(by_feat)
+
+    @classmethod
+    def from_dict(cls, index: dict) -> "StarCSR":
+        """Build from the legacy ``(center, feature) -> array`` dict
+        (oracle / test path)."""
+        groups: dict = {}
+        for (c, f), arr in index.items():
+            groups.setdefault(f, []).append((int(c), arr))
+        by_feat: dict = {}
+        for f, items in groups.items():
+            items.sort(key=lambda t: t[0])
+            cen = np.fromiter((c for c, _ in items), np.int64, len(items))
+            lens = np.fromiter((a.size for _, a in items), np.int64, len(items))
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            vals = (
+                np.concatenate([a for _, a in items]).astype(np.int32)
+                if items else np.empty(0, np.int32)
+            )
+            by_feat[f] = (cen, offs, vals)
+        return cls(by_feat)
+
+    def lookup(self, codes: np.ndarray, f: str):
+        """-> (starts, cnts, flat): for each code, its neighbor range
+        [starts, starts+cnts) into flat (cnt 0 when absent)."""
+        entry = self.by_feat.get(f)
+        codes = np.asarray(codes, np.int64)
+        if entry is None:
+            z = np.zeros(len(codes), np.int64)
+            return z, z, np.empty(0, np.int32)
+        cen, offs, vals = entry
+        pos = np.searchsorted(cen, codes)
+        pos_c = np.minimum(pos, len(cen) - 1)
+        ok = cen[pos_c] == codes
+        starts = offs[pos_c]
+        cnts = np.where(ok, offs[pos_c + 1] - starts, 0)
+        return starts, cnts, vals
+
+
+def as_csr(index) -> StarCSR:
+    return index if isinstance(index, StarCSR) else StarCSR.from_dict(index)
 
 
 def gen_candidates(
@@ -114,19 +215,21 @@ def _pi_of(
 def expand_tables(
     candidates: list[tuple[str, ...]],
     prev_tables: dict[tuple[str, ...], np.ndarray],
-    index: dict[tuple[int, str], np.ndarray],
+    index,
 ) -> dict[tuple[str, ...], np.ndarray]:
     """genTableInstance (src/miner.cpp:312-379): for candidate prefix+f,
     extend every prefix row I by S(I, f) = intersection of Neigh(o_i, f)
     (findExtendedSet, src/miner.cpp:264-310). Candidates with zero rows
-    get NO entry (drives the PI=0-when-absent behavior)."""
+    get NO entry (drives the PI=0-when-absent behavior). ``index`` may be
+    a StarCSR or the legacy dict (converted once here)."""
+    csr = as_csr(index)
     out: dict[tuple[str, ...], np.ndarray] = {}
     for cand in candidates:
         prefix, f_new = cand[:-1], cand[-1]
         prev_rows = prev_tables.get(prefix)
         if prev_rows is None or prev_rows.size == 0:
             continue
-        rows = _expand_one(prev_rows, f_new, index)
+        rows = _expand_one(prev_rows, f_new, csr)
         if rows is not None:
             out[cand] = rows
     return out
@@ -135,52 +238,46 @@ def expand_tables(
 def _expand_one(
     prev_rows: np.ndarray,
     f_new: str,
-    index: dict[tuple[int, str], np.ndarray],
+    csr: StarCSR,
 ) -> np.ndarray | None:
     """Vectorized S(I, f) = intersection of Neigh(o_i, f) over all members
     of each prefix row (findExtendedSet semantics, src/miner.cpp:264-310).
 
-    Counting join: gather every (row, neighbor-id) pair contributed by any
-    slot's Neigh list; because each list holds unique ids, an id belongs
-    to the intersection of a row iff its (row, id) pair occurs exactly
-    k-1 times. One global sort replaces per-row intersect1d calls."""
+    Per slot: ONE searchsorted resolves every prefix row's neighbor range
+    and one range-gather materializes the (row, neighbor) pairs -- rows
+    with any empty slot are dropped before gathering. Counting join:
+    because each list holds unique ids, an id belongs to a row's
+    intersection iff its (row, id) pair occurs exactly k-1 times; one
+    global np.unique replaces per-row intersect1d calls."""
     n, km1 = prev_rows.shape
+    starts_l, cnts_l = [], []
+    alive = np.ones(n, dtype=bool)
+    flat = None
+    for i in range(km1):
+        starts, cnts, flat = csr.lookup(prev_rows[:, i], f_new)
+        alive &= cnts > 0
+        starts_l.append(starts)
+        cnts_l.append(cnts)
+    if not alive.any():
+        return None
+    live = np.nonzero(alive)[0]
     if km1 == 1:
         # k=2: rows are (center, each ordered neighbor of f_new)
-        chunks = []
-        for r in range(n):
-            nb = index.get((int(prev_rows[r, 0]), f_new))
-            if nb is not None and nb.size:
-                chunks.append(
-                    np.column_stack(
-                        [np.full(nb.size, prev_rows[r, 0], np.int32), nb]
-                    )
-                )
-        return (
-            np.vstack(chunks).astype(np.int32, copy=False) if chunks else None
-        )
+        s = starts_l[0][live]
+        c = cnts_l[0][live]
+        vals = flat[_range_gather(s, c)]
+        centers = np.repeat(prev_rows[live, 0], c)
+        return np.column_stack([centers, vals]).astype(np.int32, copy=False)
 
     row_chunks: list[np.ndarray] = []
     val_chunks: list[np.ndarray] = []
-    alive = np.ones(n, dtype=bool)
     for i in range(km1):
-        col = prev_rows[:, i]
-        for r in range(n):
-            if not alive[r]:
-                continue
-            nb = index.get((int(col[r]), f_new))
-            if nb is None or nb.size == 0:
-                alive[r] = False  # one empty slot kills the row outright
-            else:
-                row_chunks.append(np.full(nb.size, r, np.int64))
-                val_chunks.append(nb)
-    if not row_chunks:
-        return None
+        s = starts_l[i][live]
+        c = cnts_l[i][live]
+        row_chunks.append(np.repeat(live, c))
+        val_chunks.append(flat[_range_gather(s, c)].astype(np.int64))
     rows_flat = np.concatenate(row_chunks)
-    vals_flat = np.concatenate(val_chunks).astype(np.int64)
-    keep = alive[rows_flat]
-    rows_flat = rows_flat[keep]
-    vals_flat = vals_flat[keep]
+    vals_flat = np.concatenate(val_chunks)
     if not rows_flat.size:
         return None
     base = np.int64(vals_flat.max()) + 1
@@ -213,6 +310,7 @@ def mine_local(
     ``roots=[f]`` mines the ordered NR-subtree of ``f`` only (k=2
     candidates = {(f, g): rank(g) > rank(f)}).
     """
+    index = as_csr(index)  # convert once, not per level
     all_feats = ctx.order
     root_set = set(all_feats if roots is None else roots)
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 from ..canonical import FeatureContext
@@ -34,9 +35,11 @@ PATTERN_SCHEMA = pa.schema(
 
 
 def _mine_group(
-    batch: pa.Table, ctx: FeatureContext, min_prev: float, measure: str
+    batch: pa.Table, ctx: FeatureContext, min_prev: float, measure: str,
+    root: str | None = None,
 ) -> pa.Table:
-    root = batch["subtree"][0].as_py()
+    if root is None:
+        root = batch["subtree"][0].as_py()
     center_ids = batch["center_id"].to_numpy(zero_copy_only=False)
     center_feats = batch["center_feature"].to_numpy(zero_copy_only=False)
     nbr_feats = batch["nbr_feature"].to_numpy(zero_copy_only=False)
@@ -50,16 +53,16 @@ def _mine_group(
     # factorize, no per-element Python loop
     import pandas as pd
 
+    from ..mining_core import StarCSR
+
     codes, _ = pd.factorize(np.concatenate([center_ids, flat_ids]), sort=False)
     center_idx = codes[: len(center_ids)].astype(np.int64)
     flat_idx = codes[len(center_ids):].astype(np.int32)
 
-    # neighbor lists are unique by construction (one row per (center,
-    # nbr_feat) over the deduped pair set) -> slice views suffice
-    index: dict[tuple[int, str], np.ndarray] = {}
-    for r in range(len(center_ids)):
-        lo, hi = offsets[r], offsets[r + 1]
-        index[(int(center_idx[r]), nbr_feats[r])] = flat_idx[lo:hi]
+    # per-feature CSR star index built in one vectorized pass (neighbor
+    # lists are unique by construction: one row per (center, nbr_feat)
+    # over the deduped pair set)
+    index = StarCSR.from_rows(center_idx, nbr_feats, offsets, flat_idx)
 
     # T1 for the root: distinct root-feature centers present in this group
     root_centers = np.unique(center_idx[center_feats == root]).astype(np.int32)
@@ -85,18 +88,93 @@ def _mine_group(
     )
 
 
+@ray.remote
+def _split_by_subtree(t, feats: list[str]):
+    """One parallel pass per star block: sort by subtree, slice into one
+    sub-table per feature (num_returns), so each subtree miner pulls
+    only its own slices. A static hash exchange over the KNOWN tiny key
+    space -- Ray's sort-based groupby samples range boundaries, and with
+    only n_features distinct keys the boundary skew made the shuffle
+    itself dominate the stage (measured 40-60 s of a 71 s stage at 14.5M
+    star rows)."""
+    import pandas as pd
+
+    if isinstance(t, pd.DataFrame):  # groupby stages emit pandas blocks
+        if t.empty or "subtree" not in t.columns:
+            empty = None
+            return tuple([empty] * len(feats)) if len(feats) > 1 else None
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if t.num_rows == 0 or "subtree" not in t.column_names:
+        return tuple([None] * len(feats)) if len(feats) > 1 else None
+    sub = t["subtree"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sub, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(sub[order], np.asarray(feats, dtype=object))
+    bounds = np.concatenate([bounds, [t.num_rows]])
+    outs = []
+    for i in range(len(feats)):
+        n = int(bounds[i + 1] - bounds[i])
+        outs.append(t.slice(int(bounds[i]), n) if n else None)
+    return tuple(outs) if len(feats) > 1 else outs[0]
+
+
+@ray.remote
+def _mine_subtree_task(
+    ctx: FeatureContext, min_prev: float, measure: str, root: str, *slices
+) -> pa.Table:
+    parts = [s for s in slices if s is not None and s.num_rows]
+    if not parts:
+        return PATTERN_SCHEMA.empty_table()
+    return _mine_group(
+        pa.concat_tables(parts).combine_chunks(), ctx, min_prev, measure,
+        root=root,
+    )
+
+
 def mine_subtrees(
     stars: Dataset, ctx: FeatureContext, cfg: MiningConfig
 ) -> Dataset:
-    """stars -> prevalent-pattern table, mined independently per subtree.
+    """stars -> prevalent-pattern table, mined independently per subtree
+    (one task per feature).
 
-    Partitioning note (SURVEY.md sec. 7.4): the rarest feature's subtree is
-    the largest group; with many features the groups balance, with few
-    features parallelism is bounded by the feature count. Hot-subtree
-    salting (shard centers by hash + exact distinct-PR merge) is the
-    documented scale path and a planned extension.
+    The exchange is a manual split (static hash over the known
+    n_features key space) instead of ``groupby("subtree")``: with only
+    n_features distinct keys, Ray's sort-based shuffle boundary sampling
+    degenerates (a handful of reduce ranges receive everything) and the
+    shuffle dominated the stage. Splitting each (already instance-
+    bucketed) star block into per-feature slices in parallel and letting
+    every subtree miner fetch only its own slices keeps the exchange
+    linear and skew-free; the feats list is global metadata.
+
+    Partitioning note (SURVEY.md sec. 7.4): the rarest feature's subtree
+    is the largest task; with many features the tasks balance, with few
+    features parallelism is bounded by the feature count -- the salted
+    mode (stages/sharded.py) is the skew-free alternative.
     """
-    return stars.groupby("subtree").map_groups(
-        lambda b: _mine_group(b, ctx, cfg.min_prevalence, cfg.measure),
-        batch_format="pyarrow",
+    import ray as _ray
+
+    # lexicographic order: the split slices blocks sorted by the string
+    # subtree key, so slice boundaries must follow the same order
+    feats = sorted(ctx.order)
+    refs = stars.materialize().to_arrow_refs()
+    grids = [
+        _split_by_subtree.options(num_returns=len(feats)).remote(r, feats)
+        for r in refs
+    ]
+    if len(feats) == 1:  # num_returns=1 yields a bare ref
+        grids = [[g] for g in grids]
+    tasks = [
+        _mine_subtree_task.remote(
+            ctx, cfg.min_prevalence, cfg.measure, f,
+            *[grids[b][i] for b in range(len(grids))],
+        )
+        for i, f in enumerate(feats)
+    ]
+    tables = [t for t in _ray.get(tasks) if t.num_rows]
+    out = (
+        pa.concat_tables(tables).combine_chunks()
+        if tables else PATTERN_SCHEMA.empty_table()
     )
+    import ray.data as rd
+
+    return rd.from_arrow(out)

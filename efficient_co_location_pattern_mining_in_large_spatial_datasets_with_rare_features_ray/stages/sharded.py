@@ -254,17 +254,17 @@ class ShardMiner:
         no per-actor interning -- the star index keys and neighbor arrays
         use the codes directly (int32 in-memory; codes are dense so this
         holds to 2^31 instances)."""
+        from ..mining_core import StarCSR
+
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)
         offsets = col.offsets.to_numpy()
         flat = col.values.to_numpy(zero_copy_only=False).astype(np.int32)
         cidx = np.asarray(center_ids, np.int64)
-        # neighbor lists are unique by construction (one row per (center,
-        # nbr_feat), ids from the deduped pair set) -> slice views suffice;
-        # expand's intersect1d(assume_unique=True) needs uniqueness, not order
-        for r in range(len(cidx)):
-            lo, hi = offsets[r], offsets[r + 1]
-            self.index[(int(cidx[r]), nbr_feats[r])] = flat[lo:hi]
+        # per-feature CSR star index, one vectorized pass; duplicate
+        # (center, nbr_feat) rows from multi-shard replication collapse
+        # to their (identical) first copy inside from_rows
+        self.index = StarCSR.from_rows(cidx, nbr_feats, offsets, flat)
         # T1: roots owned by this actor's shards, deduped + grouped by
         # feature (vectorized -- one drop_duplicates, no python set pass)
         root_mask = np.isin(
