@@ -1,9 +1,12 @@
 """End-to-end co-location mining pipeline (the flagship).
 
 instances(instance_id, feature, x, y)
+  -> [encode]                      int64 dictionary codes (stages/sharded.py)
   -> [shuffle 1: groupby(tile)]    neighbor pairs   (stages/pairs.py)
   -> [shuffle 2: groupby(bucket)]  ordered stars + subtree keys (stages/stars.py)
-  -> [shuffle 3: groupby(subtree)] per-subtree Algorithm-1 loop (stages/mining.py)
+  -> [shuffle 3: per-feature split] per-subtree Algorithm-1 loop
+     (stages/mining.py -- static exchange over the known feature key
+     space; sort-groupby degenerates on an n_features-value key)
   -> prevalent patterns sorted by (k, pattern)
 
 Mirrors the serial reference lifecycle (src/main.cpp:31-122) re-expressed

@@ -155,6 +155,9 @@ def mine_subtrees(
 
     # lexicographic order: the split slices blocks sorted by the string
     # subtree key, so slice boundaries must follow the same order
+    # (a repartition-compaction before the split was measured SLOWER:
+    # the extra pass over the star table costs more than the
+    # n_blocks x n_features object fan-in it saves)
     feats = sorted(ctx.order)
     refs = stars.materialize().to_arrow_refs()
     grids = [

@@ -71,13 +71,15 @@ def shard_of(ids: pd.Series | np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def encode_instance_ids(instances) -> "Dataset":
-    """Dictionary-encode instance_id to dense global int64 codes
-    (sort-rank): one distributed sort of the instance table, then each
-    sorted block's rows get codes offset + arange. Codes are the ONLY
-    instance identity the salted path ever touches (patterns carry no
-    instance ids, so nothing is decoded back). At 10^12 rows this is a
-    standard one-off dictionary-encode sort; the codes then make every
-    later exchange an int64 op instead of a string op."""
+    """Dictionary-encode instance_id to dense global int64 codes: block
+    b's rows get codes block_offset(b) + arange (one materialize + a
+    map per block, NO shuffle -- any global bijection works because the
+    codes are the ONLY instance identity the mining paths ever touch;
+    patterns carry no instance ids, so nothing is decoded back and
+    nothing outside one job ever compares codes). Input rows are assumed
+    id-unique (reference semantics), which makes position a bijection.
+    The materialized coded blocks also serve the metadata scan and the
+    pair join, so the source is read exactly once per job."""
 
     @ray.remote
     def _nrows(t: pa.Table) -> int:
@@ -96,8 +98,7 @@ def encode_instance_ids(instances) -> "Dataset":
                 cols[name] = t[name]
         return pa.table(cols)
 
-    sorted_ds = instances.sort("instance_id").materialize()
-    refs = sorted_ds.to_arrow_refs()
+    refs = instances.materialize().to_arrow_refs()
     ns = ray.get([_nrows.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(ns)])
     coded = [
