@@ -231,16 +231,16 @@ def run_scaling() -> dict:
       socket, and beyond ~16 active cores the sort/shuffle-heavy kernels
       saturate DRAM bandwidth -- a single-node artifact separate nodes of
       a real cluster do not share (each brings its own memory bus).
-    * the mining job runs on a 4x-rows fixture (same input at BOTH cpu
+    * the mining job runs on a 16x-rows fixture (same input at BOTH cpu
       counts): per-job fixed overhead (session init, metadata scan,
-      dictionary-encode sort barrier, shuffle setup) is ~10 s regardless
-      of input size, which dominates a ~25 s job at 16 cores and would
-      measure overhead, not scaling. A cluster job is hours long; 4x is
-      still conservative. The sf0.1-sized per-query numbers live in the
-      plain bench output.
+      shuffle setup, task fan-in) is ~10 s regardless of input size,
+      which dominates the seconds-long sf0.1 job at 16 cores and would
+      measure overhead, not scaling. A cluster job is hours long; 16x
+      is still conservative. The sf0.1-sized per-query numbers live in
+      the plain bench output.
     """
     n_events = _events_count()
-    n_scale = n_events * 4
+    n_scale = n_events * 16
     image_fixture_dir(n_scale)  # generate once before the subprocesses
 
     def one(ncpu: int, name: str) -> float:
