@@ -47,28 +47,53 @@ def _range_gather(starts: np.ndarray, cnts: np.ndarray) -> np.ndarray:
 
 class StarCSR:
     """Per-feature CSR star index: ``feature -> (sorted unique center
-    codes, offsets, flat neighbor codes)``. ``lookup(codes, f)`` resolves
-    a whole column of centers at once (searchsorted); absent centers get
-    count 0."""
+    codes, offsets, sorted packed keys)``. Keys pack ``center * n_codes
+    + neighbor`` into one int64, globally sorted per feature, so
 
-    __slots__ = ("by_feat",)
+    * ``lookup(codes, f)`` resolves a whole column of centers at once
+      (searchsorted over the center array); neighbor values come back as
+      ``keys % n_codes`` (cheap, gathered subsets only);
+    * membership of (center, neighbor) pairs -- the hot operation of the
+      extended-set intersection -- is ONE searchsorted over the presorted
+      key array, with no per-candidate sort anywhere in the level loop.
 
-    def __init__(self, by_feat: dict):
+    Packing is always safe: codes are dense int32 (< 2^31), so
+    ``n_codes**2 < 2^62`` -- the guard below enforces the invariant
+    instead of silently overflowing (the round-2 counting join packed
+    ``row_index * max_code`` which could overflow at 10^10+ rows; keys
+    never involve the row count)."""
+
+    __slots__ = ("by_feat", "n_codes")
+
+    def __init__(self, by_feat: dict, n_codes: int):
         self.by_feat = by_feat
+        self.n_codes = max(int(n_codes), 1)
+        if self.n_codes > (1 << 31):
+            raise ValueError(
+                f"instance codes must be dense int32 (< 2^31); got "
+                f"n_codes={self.n_codes}. Re-encode ids before mining."
+            )
 
     @classmethod
     def from_rows(cls, center_codes, nbr_feats, offsets, flat) -> "StarCSR":
         """Build from row-per-(center, nbr_feature) arrays with Arrow
-        list offsets -- fully vectorized (one lexsort). Duplicate
+        list offsets -- fully vectorized (one lexsort + one key sort per
+        feature; the sort is paid ONCE per group and removes every sort
+        from the per-candidate expansion path). Duplicate
         (feature, center) rows (shard replication) keep the first
         occurrence; their payloads are identical by construction."""
         import pandas as pd
 
         centers = np.asarray(center_codes, np.int64)
         n = len(centers)
-        by_feat: dict = {}
+        flat = np.asarray(flat, np.int32)
         if n == 0:
-            return cls(by_feat)
+            return cls({}, 1)
+        n_codes = int(max(
+            centers.max() if n else -1,
+            flat.max() if flat.size else -1,
+        )) + 1
+        by_feat: dict = {}
         fcodes, funiq = pd.factorize(nbr_feats, sort=False)
         starts_all = np.asarray(offsets[:-1], np.int64)
         lens_all = np.asarray(offsets[1:], np.int64) - starts_all
@@ -77,7 +102,6 @@ class StarCSR:
         bounds = np.concatenate(
             [[0], np.nonzero(np.diff(fo))[0] + 1, [n]]
         )
-        flat = np.asarray(flat, np.int32)
         for gi in range(len(bounds) - 1):
             rows = order[bounds[gi]: bounds[gi + 1]]
             f = funiq[fo[bounds[gi]]]
@@ -89,16 +113,23 @@ class StarCSR:
             lens = lens_all[rows]
             offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
             vals = flat[_range_gather(starts_all[rows], lens)]
-            by_feat[f] = (cen, offs, vals)
-        return cls(by_feat)
+            keys = np.repeat(cen, lens) * n_codes + vals
+            keys.sort()  # segments stay in place (cen ascending)
+            by_feat[f] = (cen, offs, keys)
+        return cls(by_feat, n_codes)
 
     @classmethod
     def from_dict(cls, index: dict) -> "StarCSR":
         """Build from the legacy ``(center, feature) -> array`` dict
         (oracle / test path)."""
         groups: dict = {}
+        mx = -1
         for (c, f), arr in index.items():
             groups.setdefault(f, []).append((int(c), arr))
+            mx = max(mx, int(c))
+            if arr.size:
+                mx = max(mx, int(np.max(arr)))
+        n_codes = mx + 1
         by_feat: dict = {}
         for f, items in groups.items():
             items.sort(key=lambda t: t[0])
@@ -106,27 +137,44 @@ class StarCSR:
             lens = np.fromiter((a.size for _, a in items), np.int64, len(items))
             offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
             vals = (
-                np.concatenate([a for _, a in items]).astype(np.int32)
-                if items else np.empty(0, np.int32)
+                np.concatenate([a for _, a in items]).astype(np.int64)
+                if items else np.empty(0, np.int64)
             )
-            by_feat[f] = (cen, offs, vals)
-        return cls(by_feat)
+            keys = np.repeat(cen, lens) * n_codes + vals
+            keys.sort()
+            by_feat[f] = (cen, offs, keys)
+        return cls(by_feat, n_codes)
 
     def lookup(self, codes: np.ndarray, f: str):
-        """-> (starts, cnts, flat): for each code, its neighbor range
-        [starts, starts+cnts) into flat (cnt 0 when absent)."""
+        """-> (starts, cnts, keys): for each code, its neighbor range
+        [starts, starts+cnts) into the feature's sorted key array (cnt 0
+        when absent). Neighbor values of a gathered subset are
+        ``keys[idx] % self.n_codes``."""
         entry = self.by_feat.get(f)
         codes = np.asarray(codes, np.int64)
         if entry is None:
             z = np.zeros(len(codes), np.int64)
-            return z, z, np.empty(0, np.int32)
-        cen, offs, vals = entry
+            return z, z, np.empty(0, np.int64)
+        cen, offs, keys = entry
         pos = np.searchsorted(cen, codes)
         pos_c = np.minimum(pos, len(cen) - 1)
         ok = cen[pos_c] == codes
         starts = offs[pos_c]
         cnts = np.where(ok, offs[pos_c + 1] - starts, 0)
-        return starts, cnts, vals
+        return starts, cnts, keys
+
+    def member(self, centers: np.ndarray, vals: np.ndarray, f: str) -> np.ndarray:
+        """Boolean mask: is ``vals[i]`` an ordered neighbor of
+        ``centers[i]`` under feature ``f``? One searchsorted over the
+        presorted packed keys -- the sort-free core of the extended-set
+        intersection (reference findExtendedSet, src/miner.cpp:264-310)."""
+        entry = self.by_feat.get(f)
+        if entry is None or not len(entry[2]):
+            return np.zeros(len(vals), bool)
+        keys = entry[2]
+        q = np.asarray(centers, np.int64) * self.n_codes + vals
+        pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        return keys[pos] == q
 
 
 def as_csr(index) -> StarCSR:
@@ -243,18 +291,23 @@ def _expand_one(
     """Vectorized S(I, f) = intersection of Neigh(o_i, f) over all members
     of each prefix row (findExtendedSet semantics, src/miner.cpp:264-310).
 
-    Per slot: ONE searchsorted resolves every prefix row's neighbor range
-    and one range-gather materializes the (row, neighbor) pairs -- rows
-    with any empty slot are dropped before gathering. Counting join:
-    because each list holds unique ids, an id belongs to a row's
-    intersection iff its (row, id) pair occurs exactly k-1 times; one
-    global np.unique replaces per-row intersect1d calls."""
+    Per slot: ONE searchsorted resolves every prefix row's neighbor range;
+    rows with any empty slot are dropped before gathering. The slot with
+    the smallest total expansion is gathered as candidate (row, value)
+    pairs; every other slot then filters those pairs with a presorted-key
+    membership probe (``StarCSR.member``) -- no concatenated expansion
+    array and no sort per candidate (the round-2 counting join sorted the
+    full multi-slot expansion with np.unique per candidate per level,
+    which saturated DRAM bandwidth with 16+ concurrent miners). Output
+    rows are ordered by (prefix row, new value), same as the counting
+    join produced."""
     n, km1 = prev_rows.shape
+    n_codes = csr.n_codes
     starts_l, cnts_l = [], []
     alive = np.ones(n, dtype=bool)
-    flat = None
+    keys = None
     for i in range(km1):
-        starts, cnts, flat = csr.lookup(prev_rows[:, i], f_new)
+        starts, cnts, keys = csr.lookup(prev_rows[:, i], f_new)
         alive &= cnts > 0
         starts_l.append(starts)
         cnts_l.append(cnts)
@@ -265,32 +318,49 @@ def _expand_one(
         # k=2: rows are (center, each ordered neighbor of f_new)
         s = starts_l[0][live]
         c = cnts_l[0][live]
-        vals = flat[_range_gather(s, c)]
+        vals = keys[_range_gather(s, c)] % n_codes
         centers = np.repeat(prev_rows[live, 0], c)
         return np.column_stack([centers, vals]).astype(np.int32, copy=False)
 
-    row_chunks: list[np.ndarray] = []
-    val_chunks: list[np.ndarray] = []
-    for i in range(km1):
-        s = starts_l[i][live]
-        c = cnts_l[i][live]
-        row_chunks.append(np.repeat(live, c))
-        val_chunks.append(flat[_range_gather(s, c)].astype(np.int64))
-    rows_flat = np.concatenate(row_chunks)
-    vals_flat = np.concatenate(val_chunks)
-    if not rows_flat.size:
+    totals = np.array([int(cnts_l[i][live].sum()) for i in range(km1)])
+    b = int(np.argmin(totals))
+    s = starts_l[b][live]
+    c = cnts_l[b][live]
+    vals = keys[_range_gather(s, c)] % n_codes
+    rows_local = np.repeat(np.arange(len(live), dtype=np.int64), c)
+    # probe remaining slots smallest-first: the pair set only shrinks
+    for i in np.argsort(totals, kind="stable"):
+        i = int(i)
+        if i == b:
+            continue
+        if not rows_local.size:
+            return None
+        centers_i = prev_rows[live, i].astype(np.int64)
+        hit = csr.member(centers_i[rows_local], vals, f_new)
+        rows_local = rows_local[hit]
+        vals = vals[hit]
+    if not rows_local.size:
         return None
-    base = np.int64(vals_flat.max()) + 1
-    combo = rows_flat * base + vals_flat
-    uniq, counts = np.unique(combo, return_counts=True)
-    hits = uniq[counts == km1]
-    if not hits.size:
-        return None
-    hit_rows = (hits // base).astype(np.int64)
-    hit_vals = (hits % base).astype(np.int32)
+    hit_rows = live[rows_local]
     return np.column_stack(
-        [prev_rows[hit_rows], hit_vals]
+        [prev_rows[hit_rows], vals]
     ).astype(np.int32, copy=False)
+
+
+_FLAGS_MAX = 50_000_000  # bool scratch cap; beyond this fall back to sort
+
+
+def _distinct_count(col: np.ndarray, flags: np.ndarray | None) -> int:
+    """Distinct-value count for one row-table column (the PR numerator,
+    src/utils.cpp:249-274). With a bool scratch buffer: two passes over
+    the column plus one count -- no sort. Duplicate-free reset (only
+    touched entries are cleared) keeps the buffer reusable."""
+    if flags is None or col.size < 2048:
+        return int(np.unique(col).size)
+    flags[col] = True
+    n = int(np.count_nonzero(flags))
+    flags[col] = False
+    return n
 
 
 def mine_local(
@@ -313,6 +383,10 @@ def mine_local(
     index = as_csr(index)  # convert once, not per level
     all_feats = ctx.order
     root_set = set(all_feats if roots is None else roots)
+    flags = (
+        np.zeros(index.n_codes, bool)
+        if index.n_codes <= _FLAGS_MAX else None
+    )
 
     prev_tables: dict[tuple[str, ...], np.ndarray] = {
         (f,): idxs.reshape(-1, 1).astype(np.int32) for f, idxs in t1.items()
@@ -340,7 +414,7 @@ def mine_local(
         for cand in candidates:
             rows = tables.get(cand)
             dist = (
-                [int(np.unique(rows[:, i]).size) for i in range(len(cand))]
+                [_distinct_count(rows[:, i], flags) for i in range(len(cand))]
                 if rows is not None
                 else [0] * len(cand)
             )

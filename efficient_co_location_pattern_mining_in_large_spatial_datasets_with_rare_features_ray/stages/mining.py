@@ -99,6 +99,8 @@ def _split_by_subtree(t, feats: list[str]):
     star rows)."""
     import pandas as pd
 
+    import pyarrow.compute as pc
+
     if isinstance(t, pd.DataFrame):  # groupby stages emit pandas blocks
         if t.empty or "subtree" not in t.columns:
             empty = None
@@ -106,11 +108,17 @@ def _split_by_subtree(t, feats: list[str]):
         t = pa.Table.from_pandas(t, preserve_index=False)
     if t.num_rows == 0 or "subtree" not in t.column_names:
         return tuple([None] * len(feats)) if len(feats) > 1 else None
-    sub = t["subtree"].to_numpy(zero_copy_only=False)
-    order = np.argsort(sub, kind="stable")
-    t = t.take(pa.array(order))
-    bounds = np.searchsorted(sub[order], np.asarray(feats, dtype=object))
-    bounds = np.concatenate([bounds, [t.num_rows]])
+    # vectorized dictionary lookup (feats is lexicographically sorted, as
+    # is the star builder's output order): subtree string -> int rank
+    codes = pc.index_in(
+        t["subtree"].combine_chunks(), value_set=pa.array(feats)
+    ).to_numpy(zero_copy_only=False)
+    if len(codes) > 1 and not np.all(codes[1:] >= codes[:-1]):
+        # not pre-sorted (e.g. a pandas-emitted block): sort by rank
+        order = np.argsort(codes, kind="stable")
+        t = t.take(pa.array(order))
+        codes = codes[order]
+    bounds = np.searchsorted(codes, np.arange(len(feats) + 1))
     outs = []
     for i in range(len(feats)):
         n = int(bounds[i + 1] - bounds[i])

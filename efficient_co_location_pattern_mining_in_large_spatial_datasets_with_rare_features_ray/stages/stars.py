@@ -68,10 +68,15 @@ def directed_keyed_edges(
             {"key": c_id, "feat": c_f, "other_feat": o_f, "other": o_id,
              "kind": np.int8(0)}
         )
+        # sentinel matching the id dtype keeps the column int64 end-to-end
+        # when ids are dictionary codes (object-dtype mixing measured as a
+        # major star-build cost)
+        fill = -1 if pd.api.types.is_integer_dtype(df["a_id"]) else ""
         hint = pd.DataFrame(
-            {"key": o_id, "feat": o_f, "other_feat": c_f, "other": "",
+            {"key": o_id, "feat": o_f, "other_feat": c_f, "other": fill,
              "kind": np.int8(1)}
         )
+        hint["other"] = hint["other"].astype(star["other"].dtype, copy=False)
         out = pd.concat([star, hint], ignore_index=True)
         out["bucket"] = _stable_bucket(out["key"], n_buckets)
         return out
@@ -80,8 +85,23 @@ def directed_keyed_edges(
 
 
 def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
-    """Vectorized star + subtree-key construction for every instance whose
-    key hashes into this bucket, exploded per subtree key."""
+    """Star + subtree-key construction for every instance whose key
+    hashes into this bucket, exploded per subtree key.
+
+    Int-id fast path (the mine() pipeline always dictionary-encodes ids
+    first): one lexsort defines the (key, feat, other_feat) neighbor-list
+    runs, lists become an Arrow ListArray straight from run offsets, the
+    list x subtree explosion is a searchsorted run join, and every
+    feature string is gathered from the factorized dictionary with C++
+    take -- no Python list objects anywhere (the round-2 pandas
+    ``agg(list)`` + ``tolist()`` round-trip dominated the star stage).
+    Output rows are sorted by subtree (lexicographic), which lets the
+    mining split stage slice blocks zero-copy instead of re-sorting.
+    """
+    kind = df["kind"].to_numpy()
+    int_ids = np.issubdtype(df["key"].to_numpy().dtype, np.integer)
+    if int_ids:
+        return _build_bucket_stars_int(df, kind)
     star = df[df["kind"] == 0]
     hint = df[df["kind"] == 1]
 
@@ -130,6 +150,97 @@ def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
             pa.array(out["feat"], type=pa.string()),
             pa.array(out["other_feat"], type=pa.string()),
             pa.array(out["other"].tolist(), type=pa.list_(id_t)),
+        ],
+        schema=schema,
+    )
+
+
+def _build_bucket_stars_int(df: pd.DataFrame, kind: np.ndarray) -> pa.Table:
+    """Int-id fast path of ``_build_bucket_stars`` (see its docstring)."""
+    from ..mining_core import _range_gather
+
+    smask = kind == 0
+    key_all = df["key"].to_numpy(np.int64)
+    fcodes, funiq = pd.factorize(
+        pd.concat([df["feat"], df["other_feat"]], ignore_index=True),
+        sort=False,
+    )
+    nf = len(funiq)
+    n_all = len(df)
+    f_codes = fcodes[:n_all].astype(np.int64)
+    of_codes = fcodes[n_all:].astype(np.int64)
+
+    key_s = key_all[smask]
+    schema = pa.schema(
+        [
+            ("subtree", pa.string()),
+            ("center_id", pa.int64()),
+            ("center_feature", pa.string()),
+            ("nbr_feature", pa.string()),
+            ("nbr_ids", pa.list_(pa.int64())),
+        ]
+    )
+    if key_s.size == 0:
+        return schema.empty_table()
+    sf = f_codes[smask]
+    sof = of_codes[smask]
+    other_s = df["other"].to_numpy()[smask].astype(np.int64, copy=False)
+    hmask = ~smask
+    hkey = key_all[hmask]
+    hf = f_codes[hmask]
+    hof = of_codes[hmask]
+
+    # neighbor-list runs: one lexsort by (key, feat, other_feat)
+    order = np.lexsort((sof, sf, key_s))
+    k_o = key_s[order]
+    f_o = sf[order]
+    of_o = sof[order]
+    v_o = other_s[order]
+    if len(k_o) > 1:
+        change = (
+            (k_o[1:] != k_o[:-1]) | (f_o[1:] != f_o[:-1])
+            | (of_o[1:] != of_o[:-1])
+        )
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    else:
+        starts = np.zeros(1, np.int64)
+    offsets = np.append(starts, len(k_o))
+    lk = k_o[starts]
+    lf = f_o[starts]
+    lof = of_o[starts]
+
+    # subtree keys per instance: own feature (star + hint rows) plus the
+    # hint's center feature, deduped via packed (key * nf + code) ints
+    st = np.unique(np.concatenate([lk * nf + lf, hkey * nf + hf,
+                                   hkey * nf + hof]))
+    st_key = st // nf
+    st_code = st % nf
+
+    # explode: every list run repeated once per subtree of its key
+    # (both sides sorted by key -> a searchsorted run join)
+    lo = np.searchsorted(st_key, lk, "left")
+    hi = np.searchsorted(st_key, lk, "right")
+    cnt = hi - lo
+    rep = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+    sub_codes = st_code[_range_gather(lo, cnt)]
+
+    # order output by subtree string rank so downstream splits need no sort
+    rank = np.empty(nf, np.int64)
+    rank[np.argsort(funiq.astype("U"))] = np.arange(nf)
+    out_order = np.argsort(rank[sub_codes], kind="stable")
+    rep = rep[out_order]
+    sub_codes = sub_codes[out_order]
+
+    fstr = pa.array([str(x) for x in funiq], pa.string())
+    idx32 = pa.array(offsets, pa.int32())
+    lists = pa.ListArray.from_arrays(idx32, pa.array(v_o, pa.int64()))
+    return pa.Table.from_arrays(
+        [
+            fstr.take(pa.array(sub_codes)),
+            pa.array(lk[rep], pa.int64()),
+            fstr.take(pa.array(lf[rep])),
+            fstr.take(pa.array(lof[rep])),
+            lists.take(pa.array(rep)),
         ],
         schema=schema,
     )
