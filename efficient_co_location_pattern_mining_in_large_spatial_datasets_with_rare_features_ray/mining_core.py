@@ -81,20 +81,33 @@ class StarCSR:
         feature; the sort is paid ONCE per group and removes every sort
         from the per-candidate expansion path). Duplicate
         (feature, center) rows (shard replication) keep the first
-        occurrence; their payloads are identical by construction."""
+        occurrence; their payloads are identical by construction.
+
+        ``nbr_feats`` is either a raw feature array (factorized here) or
+        a pre-encoded ``(codes, uniques)`` pair (e.g. from Arrow
+        dictionary_encode -- avoids materializing Python strings)."""
         import pandas as pd
 
         centers = np.asarray(center_codes, np.int64)
         n = len(centers)
-        flat = np.asarray(flat, np.int32)
         if n == 0:
             return cls({}, 1)
         n_codes = int(max(
             centers.max() if n else -1,
-            flat.max() if flat.size else -1,
+            int(np.max(flat)) if len(flat) else -1,
         )) + 1
+        if n_codes > (1 << 31):
+            raise ValueError(
+                f"instance codes must be dense int32 (< 2^31); got max "
+                f"{n_codes - 1}. Re-encode ids before mining."
+            )
+        flat = np.asarray(flat, np.int32)
         by_feat: dict = {}
-        fcodes, funiq = pd.factorize(nbr_feats, sort=False)
+        if isinstance(nbr_feats, tuple):
+            fcodes, funiq = nbr_feats
+            fcodes = np.asarray(fcodes)
+        else:
+            fcodes, funiq = pd.factorize(nbr_feats, sort=False)
         starts_all = np.asarray(offsets[:-1], np.int64)
         lens_all = np.asarray(offsets[1:], np.int64) - starts_all
         order = np.lexsort((centers, fcodes))

@@ -129,13 +129,20 @@ def minhash_verified_pairs(
     Shuffle plan (three bucketed exchanges, each over candidate-sized
     data, never one Ray group per pair/doc):
       1. pair-bucket groupby  -> dedupe candidate pairs across bands
-      2. doc-bucket groupby over (pair-role rows UNION doc texts) ->
-         compute each needed doc's shingle set ONCE, attach to each of
-         its role rows (docs without candidates are dropped here, so
-         shingles ship only for docs that need verification)
+      2. doc-bucket groupby over (pair-role rows UNION candidate docs'
+         texts) -> compute each needed doc's shingle set ONCE, attach to
+         each of its role rows. The text side is SEMI-JOINED before the
+         exchange: the distinct candidate doc ids (a few per pair,
+         deduped -- the small side) are broadcast once via ray.put and
+         each text batch keeps only matching rows, so non-candidate
+         documents' payloads never enter the shuffle (round 2 shipped
+         the FULL corpus text through this exchange and filtered after).
+         At corpus scale where even the candidate id set outgrows one
+         object, shard the broadcast per doc-bucket.
       3. pair-bucket groupby  -> both role rows of a pair meet; exact
          Jaccard from the two sorted shingle arrays
     """
+    import ray as _ray
 
     def dedupe(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -177,9 +184,35 @@ def minhash_verified_pairs(
              "text": np.empty(0, object)}
         )
 
-    roles = cand.map_batches(to_roles, batch_format="pandas")
-    texts = docs.map_batches(
-        lambda df: pd.DataFrame(
+    cand = cand.materialize()  # consumed twice: id semi-join + role rows
+
+    @_ray.remote
+    def _block_ids(t) -> np.ndarray:
+        if hasattr(t, "column_names"):  # arrow block
+            if t.num_rows == 0 or "a" not in t.column_names:
+                return np.empty(0, np.int64)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+        else:  # pandas block
+            if t.empty or "a" not in t.columns:
+                return np.empty(0, np.int64)
+            a = t["a"].to_numpy(np.int64)
+            b = t["b"].to_numpy(np.int64)
+        return np.unique(np.concatenate([a, b]).astype(np.int64))
+
+    id_parts = _ray.get([_block_ids.remote(r) for r in cand.to_arrow_refs()])
+    needed_ids = (
+        np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
+    )
+    needed_ref = _ray.put(needed_ids)  # broadcast once, read per batch
+
+    def keep_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        ids = _ray.get(needed_ref)
+        did = df["doc_id"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(ids, did), max(len(ids) - 1, 0))
+        mask = ids[pos] == did if len(ids) else np.zeros(len(did), bool)
+        df = df[mask]
+        return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
                 "a": np.zeros(len(df), np.int64),
@@ -187,9 +220,10 @@ def minhash_verified_pairs(
                 "kind": np.ones(len(df), np.int8),
                 "text": df["text"].to_numpy(object),
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    roles = cand.map_batches(to_roles, batch_format="pandas")
+    texts = docs.map_batches(keep_candidates, batch_format="pandas")
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -211,6 +245,10 @@ def minhash_verified_pairs(
             for did, t in zip(doc_rows["doc_id"], doc_rows["text"])
             if did in needed
         }
+        # a candidate doc may be absent from the corpus stream entirely;
+        # drop its role rows so verify's len(sub) != 2 guard reports the
+        # pair as lost instead of KeyError-ing here
+        role_rows = role_rows[role_rows["doc_id"].isin(sh.keys())]
         return pd.DataFrame(
             {
                 "a": role_rows["a"].to_numpy(np.int64),
@@ -313,18 +351,79 @@ def ngram_jaccard_pairs(
     exactly reproducible by the DuckDB oracle (SQL_NGRAM_JACCARD)."""
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        """Inverted-index pair counting instead of the O(n^2) Python
+        pair loop over per-doc sets: factorize every (doc, shingle)
+        incidence, expand each shingle's doc run into (i < j) pairs
+        (vectorized per distinct run length), count pair occurrences =
+        intersection sizes, and derive Jaccard from |A| + |B| - inter.
+        Only pairs sharing at least one shingle are ever touched, so a
+        hot source costs O(sum_s |docs(s)|^2) over SHARED shingles, all
+        in numpy."""
+        empty = pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+             "jaccard": np.empty(0, np.float64)}
+        )
         df = df.sort_values("doc_id")
         ids = df["doc_id"].to_numpy(np.int64)
-        sh = [char_shingles_str(t, k) for t in df["text"]]
-        a, b, js = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jj = jaccard(sh[i], sh[j])
-                if jj >= threshold:
-                    a.append(ids[i]); b.append(ids[j]); js.append(round(jj, 6))
-        return pd.DataFrame(
-            {"a": np.asarray(a, np.int64), "b": np.asarray(b, np.int64),
-             "jaccard": np.asarray(js, np.float64)}
+        n = len(ids)
+        if n < 2:
+            return empty
+        sizes = np.empty(n, np.int64)
+        all_sh: list[str] = []
+        doc_idx: list[np.ndarray] = []
+        for i, t in enumerate(df["text"]):
+            s = char_shingles_str(t, k)
+            sizes[i] = len(s)
+            all_sh.extend(s)
+            doc_idx.append(np.full(len(s), i, np.int64))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        if all_sh:
+            d_all = np.concatenate(doc_idx)
+            codes, _ = pd.factorize(np.asarray(all_sh, object), sort=False)
+            order = np.argsort(codes, kind="stable")  # stable: docs stay ascending
+            d = d_all[order]
+            c = codes[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(c[1:] != c[:-1]) + 1]
+            )
+            lens = np.diff(np.append(starts, len(c)))
+            ii: list[np.ndarray] = []
+            jj: list[np.ndarray] = []
+            for L in np.unique(lens):
+                if L < 2:
+                    continue
+                S = starts[lens == L]
+                iu, ju = np.triu_indices(int(L), 1)
+                ii.append((S[:, None] + iu[None, :]).ravel())
+                jj.append((S[:, None] + ju[None, :]).ravel())
+            if ii:
+                pi_ = d[np.concatenate(ii)]
+                pj_ = d[np.concatenate(jj)]
+                keys = pi_ * n + pj_
+                u, inter = np.unique(keys, return_counts=True)
+                ai = u // n
+                bi = u % n
+                union = sizes[ai] + sizes[bi] - inter
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                keep = jac >= threshold
+                out_a.append(ids[ai[keep]])
+                out_b.append(ids[bi[keep]])
+                out_j.append(np.round(jac[keep], 6))
+        # jaccard(empty, empty) == 1.0 by definition: all-empty docs pair up
+        empties = np.flatnonzero(sizes == 0)
+        if len(empties) > 1 and 1.0 >= threshold:
+            iu, ju = np.triu_indices(len(empties), 1)
+            out_a.append(ids[empties[iu]])
+            out_b.append(ids[empties[ju]])
+            out_j.append(np.ones(len(iu), np.float64))
+        if not out_a:
+            return empty
+        out = pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "jaccard": np.concatenate(out_j)}
         )
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
 
     return docs.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -38,34 +38,38 @@ def _mine_group(
     batch: pa.Table, ctx: FeatureContext, min_prev: float, measure: str,
     root: str | None = None,
 ) -> pa.Table:
+    from ..mining_core import StarCSR
+
     if root is None:
-        root = batch["subtree"][0].as_py()
+        root = ctx.order[int(batch["subtree"][0].as_py())]
     center_ids = batch["center_id"].to_numpy(zero_copy_only=False)
-    center_feats = batch["center_feature"].to_numpy(zero_copy_only=False)
-    nbr_feats = batch["nbr_feature"].to_numpy(zero_copy_only=False)
     nbr_col = batch["nbr_ids"].combine_chunks()
     if isinstance(nbr_col, pa.ChunkedArray):  # single chunk after combine
         nbr_col = nbr_col.chunk(0)
     offsets = nbr_col.offsets.to_numpy()
     flat_ids = nbr_col.values.to_numpy(zero_copy_only=False)
 
-    # local integer ids over every instance mentioned: one C-speed
-    # factorize, no per-element Python loop
-    import pandas as pd
-
-    from ..mining_core import StarCSR
-
-    codes, _ = pd.factorize(np.concatenate([center_ids, flat_ids]), sort=False)
-    center_idx = codes[: len(center_ids)].astype(np.int64)
-    flat_idx = codes[len(center_ids):].astype(np.int32)
+    # ids arrive as dense global int32 dictionary codes
+    # (encode_instance_ids + the star builder's cast): use them directly
+    # -- no per-group factorize pass, and the packed-key index stays safe
+    # because n_codes < 2^31 (StarCSR guards this). Features arrive as
+    # int16 canonical ranks; names come from the broadcast ctx.order.
+    feat_names = np.asarray(ctx.order, object)
+    nbr_codes = batch["nbr_feature"].to_numpy(zero_copy_only=False)
 
     # per-feature CSR star index built in one vectorized pass (neighbor
     # lists are unique by construction: one row per (center, nbr_feat)
     # over the deduped pair set)
-    index = StarCSR.from_rows(center_idx, nbr_feats, offsets, flat_idx)
+    index = StarCSR.from_rows(
+        center_ids, (nbr_codes, feat_names), offsets, flat_ids
+    )
 
     # T1 for the root: distinct root-feature centers present in this group
-    root_centers = np.unique(center_idx[center_feats == root]).astype(np.int32)
+    root_rank = ctx.rank[root]
+    center_feats = batch["center_feature"].to_numpy(zero_copy_only=False)
+    root_centers = np.unique(center_ids[center_feats == root_rank]).astype(
+        np.int32
+    )
     t1 = {root: root_centers}
 
     recs = mine_local(
@@ -89,41 +93,37 @@ def _mine_group(
 
 
 @ray.remote
-def _split_by_subtree(t, feats: list[str]):
-    """One parallel pass per star block: sort by subtree, slice into one
-    sub-table per feature (num_returns), so each subtree miner pulls
-    only its own slices. A static hash exchange over the KNOWN tiny key
-    space -- Ray's sort-based groupby samples range boundaries, and with
-    only n_features distinct keys the boundary skew made the shuffle
-    itself dominate the stage (measured 40-60 s of a 71 s stage at 14.5M
-    star rows)."""
+def _split_by_subtree(t, n_feats: int):
+    """One parallel pass per star block: slice into one sub-table per
+    feature rank (num_returns), so each subtree miner pulls only its own
+    slices. A static exchange over the KNOWN tiny key space -- Ray's
+    sort-based groupby samples range boundaries, and with only
+    n_features distinct keys the boundary skew made the shuffle itself
+    dominate the stage (measured 40-60 s of a 71 s stage at 14.5M star
+    rows)."""
     import pandas as pd
-
-    import pyarrow.compute as pc
 
     if isinstance(t, pd.DataFrame):  # groupby stages emit pandas blocks
         if t.empty or "subtree" not in t.columns:
             empty = None
-            return tuple([empty] * len(feats)) if len(feats) > 1 else None
+            return tuple([empty] * n_feats) if n_feats > 1 else None
         t = pa.Table.from_pandas(t, preserve_index=False)
     if t.num_rows == 0 or "subtree" not in t.column_names:
-        return tuple([None] * len(feats)) if len(feats) > 1 else None
-    # vectorized dictionary lookup (feats is lexicographically sorted, as
-    # is the star builder's output order): subtree string -> int rank
-    codes = pc.index_in(
-        t["subtree"].combine_chunks(), value_set=pa.array(feats)
-    ).to_numpy(zero_copy_only=False)
+        return tuple([None] * n_feats) if n_feats > 1 else None
+    # subtree is an int16 canonical rank and the star builder emits rows
+    # already sorted by it -- slicing is zero-copy; the sort below only
+    # triggers for out-of-order producers
+    codes = t["subtree"].to_numpy(zero_copy_only=False)
     if len(codes) > 1 and not np.all(codes[1:] >= codes[:-1]):
-        # not pre-sorted (e.g. a pandas-emitted block): sort by rank
         order = np.argsort(codes, kind="stable")
         t = t.take(pa.array(order))
         codes = codes[order]
-    bounds = np.searchsorted(codes, np.arange(len(feats) + 1))
+    bounds = np.searchsorted(codes, np.arange(n_feats + 1))
     outs = []
-    for i in range(len(feats)):
+    for i in range(n_feats):
         n = int(bounds[i + 1] - bounds[i])
         outs.append(t.slice(int(bounds[i]), n) if n else None)
-    return tuple(outs) if len(feats) > 1 else outs[0]
+    return tuple(outs) if n_feats > 1 else outs[0]
 
 
 @ray.remote
@@ -161,15 +161,15 @@ def mine_subtrees(
     """
     import ray as _ray
 
-    # lexicographic order: the split slices blocks sorted by the string
-    # subtree key, so slice boundaries must follow the same order
+    # canonical rank order: the split slices blocks sorted by the int16
+    # subtree rank, so slice i belongs to ctx.order[i]
     # (a repartition-compaction before the split was measured SLOWER:
     # the extra pass over the star table costs more than the
     # n_blocks x n_features object fan-in it saves)
-    feats = sorted(ctx.order)
+    feats = list(ctx.order)
     refs = stars.materialize().to_arrow_refs()
     grids = [
-        _split_by_subtree.options(num_returns=len(feats)).remote(r, feats)
+        _split_by_subtree.options(num_returns=len(feats)).remote(r, len(feats))
         for r in refs
     ]
     if len(feats) == 1:  # num_returns=1 yields a bare ref

@@ -18,8 +18,13 @@ star builder (src/neighborhood_mgr.cpp:42-87) and its pointer NR-tree
    (``subtree_feature``), giving the mining shuffle its partition key.
 
 Output schema: (subtree, center_id, center_feature, nbr_feature,
-nbr_ids) -- id columns are int64 dictionary codes when the caller
-encoded instance ids (mine() does), else raw strings.
+nbr_ids). Feature columns are int16 CANONICAL RANKS (ctx.rank -- every
+worker derives the same order from the broadcast feature-count map) and
+id columns are int32 dictionary codes when the caller encoded instance
+ids (mine() does; int64 when codes exceed 2^31, raw strings otherwise).
+Compact fixed-width columns matter at scale: the star table is the
+job's largest intermediate, and string feature labels tripled its bytes
+through the mining exchange in round 2.
 """
 
 from __future__ import annotations
@@ -50,28 +55,33 @@ def directed_keyed_edges(
 ) -> Dataset:
     """pairs -> rows keyed by the instance the row informs:
     kind=0: star edge   (key=center, feat, other_feat=nbr feature, other=nbr id)
-    kind=1: subtree hint (key=nbr, feat, other_feat=center feature)"""
-    counts = dict(ctx.counts)
+    kind=1: subtree hint (key=nbr, feat, other_feat=center feature)
+
+    Features travel as int16 canonical ranks; the rank comparison IS the
+    ordered-direction predicate (count asc, lex tie -- canonical.py)."""
+    rank = dict(ctx.rank)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ca = df["a_feature"].map(counts)
-        cb = df["b_feature"].map(counts)
-        # ordered direction a->b (b in a's star): count(a)<count(b), lex tie
-        a_keeps_b = (ca < cb) | ((ca == cb) & (df["a_feature"] <= df["b_feature"]))
+        ra = df["a_feature"].map(rank).to_numpy(np.int16)
+        rb = df["b_feature"].map(rank).to_numpy(np.int16)
+        ia = df["a_id"].to_numpy()
+        ib = df["b_id"].to_numpy()
+        # ordered direction a->b (b in a's star): rank(a) < rank(b)
+        a_keeps_b = ra < rb
         # pairs are cross-type so exactly one direction holds; emit center c,
         # neighbor o for the kept direction
-        c_id = df["a_id"].where(a_keeps_b, df["b_id"])
-        c_f = df["a_feature"].where(a_keeps_b, df["b_feature"])
-        o_id = df["b_id"].where(a_keeps_b, df["a_id"])
-        o_f = df["b_feature"].where(a_keeps_b, df["a_feature"])
+        c_id = np.where(a_keeps_b, ia, ib)
+        c_f = np.where(a_keeps_b, ra, rb).astype(np.int16)
+        o_id = np.where(a_keeps_b, ib, ia)
+        o_f = np.where(a_keeps_b, rb, ra).astype(np.int16)
         star = pd.DataFrame(
             {"key": c_id, "feat": c_f, "other_feat": o_f, "other": o_id,
              "kind": np.int8(0)}
         )
-        # sentinel matching the id dtype keeps the column int64 end-to-end
-        # when ids are dictionary codes (object-dtype mixing measured as a
-        # major star-build cost)
-        fill = -1 if pd.api.types.is_integer_dtype(df["a_id"]) else ""
+        # sentinel matching the id dtype keeps the column int-typed
+        # end-to-end when ids are dictionary codes (object-dtype mixing
+        # measured as a major star-build cost)
+        fill = -1 if np.issubdtype(ia.dtype, np.integer) else ""
         hint = pd.DataFrame(
             {"key": o_id, "feat": o_f, "other_feat": c_f, "other": fill,
              "kind": np.int8(1)}
@@ -88,107 +98,69 @@ def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
     """Star + subtree-key construction for every instance whose key
     hashes into this bucket, exploded per subtree key.
 
-    Int-id fast path (the mine() pipeline always dictionary-encodes ids
-    first): one lexsort defines the (key, feat, other_feat) neighbor-list
-    runs, lists become an Arrow ListArray straight from run offsets, the
-    list x subtree explosion is a searchsorted run join, and every
-    feature string is gathered from the factorized dictionary with C++
-    take -- no Python list objects anywhere (the round-2 pandas
+    Fully vectorized: one lexsort defines the (key, feat, other_feat)
+    neighbor-list runs, lists become an Arrow ListArray straight from
+    run offsets, and the list x subtree explosion is a searchsorted run
+    join -- no Python list objects anywhere (the round-2 pandas
     ``agg(list)`` + ``tolist()`` round-trip dominated the star stage).
-    Output rows are sorted by subtree (lexicographic), which lets the
-    mining split stage slice blocks zero-copy instead of re-sorting.
+    Features are int16 canonical ranks throughout; ids are emitted as
+    int32 when they fit (dictionary codes always do below 2^31).
+    Output rows are sorted by subtree rank, which lets the mining split
+    stage slice blocks zero-copy instead of re-sorting. String ids
+    (non-encoded callers) are factorized locally and decoded on output.
     """
-    kind = df["kind"].to_numpy()
-    int_ids = np.issubdtype(df["key"].to_numpy().dtype, np.integer)
-    if int_ids:
-        return _build_bucket_stars_int(df, kind)
-    star = df[df["kind"] == 0]
-    hint = df[df["kind"] == 1]
-
-    # star lists per (key, feat, other_feat)
-    lists = (
-        star.groupby(["key", "feat", "other_feat"], sort=False)["other"]
-        .agg(list)
-        .reset_index()
-    )
-    # subtree keys per instance = own feature + distinct hint features
-    own = pd.concat(
-        [
-            star[["key", "feat"]].drop_duplicates(),
-            hint[["key", "feat"]].drop_duplicates(),
-        ]
-    ).drop_duplicates()
-    own = own.rename(columns={"feat": "subtree_feat"})
-    own["subtree"] = own["subtree_feat"]
-    extra = hint[["key", "other_feat"]].drop_duplicates()
-    extra = extra.rename(columns={"other_feat": "subtree"})
-    subtrees = pd.concat(
-        [own[["key", "subtree"]], extra[["key", "subtree"]]]
-    ).drop_duplicates()
-
-    # explode: star rows x subtree keys (inner join on key). Id dtype
-    # follows the input: int64 dictionary codes (mine() encodes ids
-    # first) or raw strings.
-    out = lists.merge(subtrees, on="key", how="inner")
-    int_ids = np.issubdtype(df["key"].to_numpy().dtype, np.integer)
-    id_t = pa.int64() if int_ids else pa.string()
-    schema = pa.schema(
-        [
-            ("subtree", pa.string()),
-            ("center_id", id_t),
-            ("center_feature", pa.string()),
-            ("nbr_feature", pa.string()),
-            ("nbr_ids", pa.list_(id_t)),
-        ]
-    )
-    if out.empty:
-        return schema.empty_table()
-    return pa.Table.from_arrays(
-        [
-            pa.array(out["subtree"], type=pa.string()),
-            pa.array(out["key"], type=id_t),
-            pa.array(out["feat"], type=pa.string()),
-            pa.array(out["other_feat"], type=pa.string()),
-            pa.array(out["other"].tolist(), type=pa.list_(id_t)),
-        ],
-        schema=schema,
-    )
-
-
-def _build_bucket_stars_int(df: pd.DataFrame, kind: np.ndarray) -> pa.Table:
-    """Int-id fast path of ``_build_bucket_stars`` (see its docstring)."""
     from ..mining_core import _range_gather
 
+    kind = df["kind"].to_numpy()
     smask = kind == 0
-    key_all = df["key"].to_numpy(np.int64)
-    fcodes, funiq = pd.factorize(
-        pd.concat([df["feat"], df["other_feat"]], ignore_index=True),
-        sort=False,
-    )
-    nf = len(funiq)
-    n_all = len(df)
-    f_codes = fcodes[:n_all].astype(np.int64)
-    of_codes = fcodes[n_all:].astype(np.int64)
+    key_raw = df["key"].to_numpy()
+    int_ids = np.issubdtype(key_raw.dtype, np.integer)
+    if int_ids:
+        key_all = key_raw.astype(np.int64, copy=False)
+        other_all = df["other"].to_numpy().astype(np.int64, copy=False)
+        id_uniq = None
+    else:
+        # local string-id interning; decoded back on output
+        other_obj = df["other"].to_numpy(dtype=object)
+        codes, id_uniq = pd.factorize(
+            np.concatenate([key_raw, other_obj]), sort=False
+        )
+        key_all = codes[: len(key_raw)].astype(np.int64)
+        other_all = codes[len(key_raw):].astype(np.int64)
+    f_all = df["feat"].to_numpy(np.int16)
+    of_all = df["other_feat"].to_numpy(np.int16)
+    nf = int(max(f_all.max(initial=-1), of_all.max(initial=-1))) + 1
 
     key_s = key_all[smask]
+    if int_ids:
+        # fixed job-wide dtype (blocks must agree): the mining core
+        # requires dense codes < 2^31 anyway (StarCSR packing guard)
+        if max(key_all.max(initial=-1), other_all.max(initial=-1)) >= (1 << 31):
+            raise ValueError(
+                "instance id codes must be dense int32 (< 2^31); "
+                "re-encode ids before building stars"
+            )
+        id_t = pa.int32()
+    else:
+        id_t = pa.string()
     schema = pa.schema(
         [
-            ("subtree", pa.string()),
-            ("center_id", pa.int64()),
-            ("center_feature", pa.string()),
-            ("nbr_feature", pa.string()),
-            ("nbr_ids", pa.list_(pa.int64())),
+            ("subtree", pa.int16()),
+            ("center_id", id_t),
+            ("center_feature", pa.int16()),
+            ("nbr_feature", pa.int16()),
+            ("nbr_ids", pa.list_(id_t)),
         ]
     )
     if key_s.size == 0:
         return schema.empty_table()
-    sf = f_codes[smask]
-    sof = of_codes[smask]
-    other_s = df["other"].to_numpy()[smask].astype(np.int64, copy=False)
+    sf = f_all[smask].astype(np.int64)
+    sof = of_all[smask].astype(np.int64)
+    other_s = other_all[smask]
     hmask = ~smask
     hkey = key_all[hmask]
-    hf = f_codes[hmask]
-    hof = of_codes[hmask]
+    hf = f_all[hmask].astype(np.int64)
+    hof = of_all[hmask].astype(np.int64)
 
     # neighbor-list runs: one lexsort by (key, feat, other_feat)
     order = np.lexsort((sof, sf, key_s))
@@ -210,7 +182,7 @@ def _build_bucket_stars_int(df: pd.DataFrame, kind: np.ndarray) -> pa.Table:
     lof = of_o[starts]
 
     # subtree keys per instance: own feature (star + hint rows) plus the
-    # hint's center feature, deduped via packed (key * nf + code) ints
+    # hint's center feature, deduped via packed (key * nf + rank) ints
     st = np.unique(np.concatenate([lk * nf + lf, hkey * nf + hf,
                                    hkey * nf + hof]))
     st_key = st // nf
@@ -224,22 +196,25 @@ def _build_bucket_stars_int(df: pd.DataFrame, kind: np.ndarray) -> pa.Table:
     rep = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
     sub_codes = st_code[_range_gather(lo, cnt)]
 
-    # order output by subtree string rank so downstream splits need no sort
-    rank = np.empty(nf, np.int64)
-    rank[np.argsort(funiq.astype("U"))] = np.arange(nf)
-    out_order = np.argsort(rank[sub_codes], kind="stable")
+    # order output by subtree rank so downstream splits need no sort
+    out_order = np.argsort(sub_codes, kind="stable")
     rep = rep[out_order]
     sub_codes = sub_codes[out_order]
 
-    fstr = pa.array([str(x) for x in funiq], pa.string())
-    idx32 = pa.array(offsets, pa.int32())
-    lists = pa.ListArray.from_arrays(idx32, pa.array(v_o, pa.int64()))
+    if int_ids:
+        np_id = np.int32 if id_t == pa.int32() else np.int64
+        vals_arr = pa.array(v_o.astype(np_id, copy=False), id_t)
+        center_arr = pa.array(lk[rep].astype(np_id, copy=False), id_t)
+    else:
+        vals_arr = pa.array(id_uniq[v_o], id_t)
+        center_arr = pa.array(id_uniq[lk[rep]], id_t)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals_arr)
     return pa.Table.from_arrays(
         [
-            fstr.take(pa.array(sub_codes)),
-            pa.array(lk[rep], pa.int64()),
-            fstr.take(pa.array(lf[rep])),
-            fstr.take(pa.array(lof[rep])),
+            pa.array(sub_codes.astype(np.int16), pa.int16()),
+            center_arr,
+            pa.array(lf[rep].astype(np.int16), pa.int16()),
+            pa.array(lof[rep].astype(np.int16), pa.int16()),
             lists.take(pa.array(rep)),
         ],
         schema=schema,
