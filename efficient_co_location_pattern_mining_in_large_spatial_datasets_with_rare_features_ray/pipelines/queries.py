@@ -95,9 +95,11 @@ def _patterns_out(t: pa.Table) -> pa.Table:
 
 
 def q_patterns_full(sf_dir: str) -> pa.Table:
-    """Full multi-level WPI mining, subtree-partitioned mode (not
-    SQL-expressible; rows-only check in the driver -- exact conformance
-    is pytest's engine-vs-oracle gate)."""
+    """Full multi-level WPI mining, subtree-partitioned mode. Hash-checked
+    in the driver against the unrolled k<=3 apriori SQL oracle
+    (sql_patterns_full -- exact at the driver's fixed (d, mp), see
+    COLO_SQL note); general-k conformance is pytest's engine-vs-oracle
+    gate plus the LasVegas golden."""
     inst = instances_from_events(sf_dir)
     run = colocation.mine(inst, _cfg())
     return _patterns_out(run.patterns_table())
@@ -649,6 +651,19 @@ def q_embed_neardup(sf_dir: str) -> pa.Table:
     return similarity.cosine_neardup_pairs(_embeddings(sf_dir), NEARDUP_TAU)
 
 
+def q_embed_neardup_lsh(sf_dir: str) -> pa.Table:
+    """Composed bucketed near-dup (LSH candidates -> per-bucket exact
+    verify). 24 bands x 3 bits gives per-pair miss probability
+    (1-p^3)^24 ~ 1e-3 at tau=0.4, so the output equals the exact
+    all-pairs op at this scale (verified table-equal at sf0.01) and
+    shares its SQL oracle."""
+    from . import similarity
+
+    return similarity.lsh_neardup_pairs(
+        _embeddings(sf_dir), NEARDUP_TAU, n_bands=24, band_bits=3
+    )
+
+
 SQL_DOC_QUALITY = """WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
@@ -987,7 +1002,25 @@ DATA_QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
 }
+
+
+def _golden_sql(name: str) -> str | None:
+    """Committed VALUES-literal oracle for deterministic approximate ops
+    (fixed seed -> byte-stable output; regenerate with
+    tools/gen_value_goldens.py). Valid at the driver's sf0.01 inputs."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "goldens", f"{name}_sf001.sql",
+    )
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read()
+    return None
 
 DATA_SQL = {
     "doc_quality": SQL_DOC_QUALITY,
@@ -1001,11 +1034,21 @@ DATA_SQL = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH,
     "corpus_clean": SQL_CORPUS_CLEAN,
-    # ann_topk_lsh / ann_topk_ivf: float-geometry bucketing (hyperplane
-    # signs / k-means) where DuckDB's float summation order can flip
-    # boundary buckets -> rows-only in the driver; recall-tested against
-    # the exact ann_topk baseline (tests/test_similarity.py).
+    # the composed LSH near-dup's parameters make it exact at this scale
+    # (per-pair miss ~1e-3; verified table-equal to the all-pairs op at
+    # sf0.01), so it shares the exact op's SQL oracle
+    "embed_neardup_lsh": SQL_EMBED_NEARDUP,
 }
+
+# ann_topk_lsh / ann_topk_ivf: approximate by design (no SQL can restate
+# hyperplane-sign / k-means bucketing), but deterministic under their
+# fixed seeds -- committed VALUES goldens (tools/gen_value_goldens.py)
+# give the driver an exact comparison target; recall is separately
+# tested against the exact baseline (tests/test_similarity.py).
+for _n in ("ann_topk_lsh", "ann_topk_ivf"):
+    _g = _golden_sql(_n)
+    if _g:
+        DATA_SQL[_n] = _g
 
 
 COLO_QUERIES = {

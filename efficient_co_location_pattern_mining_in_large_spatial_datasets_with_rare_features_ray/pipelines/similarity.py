@@ -41,6 +41,28 @@ def _batch_matrix(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def _query_matrix(
+    embeddings: Dataset, query_ids: list[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Extract the query vectors with a pyarrow-native isin filter: the
+    raw embeddings table never converts to pandas (object-dtype blocks
+    made Ray's size estimator log per-batch errors and killed zero-copy)."""
+    import pyarrow.compute as pc
+
+    vals = pa.array(sorted({int(q) for q in query_ids}), pa.int64())
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=vals))
+
+    rows = embeddings.map_batches(filt, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    m = (
+        np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+        if rows else np.empty((0, 0), np.float64)
+    )
+    return ids, m
+
+
 def _pack(ids: np.ndarray, m: np.ndarray, extra: dict | None = None) -> pa.Table:
     """(ids, matrix) -> Arrow table with a fixed_size_list embedding
     column: zero-copy loads downstream and no object-dtype size-
@@ -78,11 +100,7 @@ def ann_topk(
     """Exact cosine top-k for each query vector. Output
     (query_id, vec_id, sim) with sim rounded to 6 and deterministic
     (sim desc, vec_id asc) tie order."""
-    qset = {int(q) for q in query_ids}
-    qdf = embeddings.map_batches(
-        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
-    ).to_pandas()
-    qids, qm = _batch_matrix(qdf)
+    qids, qm = _query_matrix(embeddings, query_ids)
     qn = _normalize(qm)
     qref = ray.put((qids, qn))
 
@@ -199,6 +217,103 @@ def cosine_neardup_pairs(
     )
 
 
+def lsh_neardup_pairs(
+    embeddings: Dataset,
+    tau: float,
+    n_bands: int = 8,
+    band_bits: int = 6,
+    seed: int = 13,
+) -> pa.Table:
+    """Composed bucketed near-dup -- the corpus-scale variant of
+    ``cosine_neardup_pairs``: sign-random-projection LSH generates the
+    candidate buckets (n_bands independent bands of band_bits hyperplanes
+    each; a pair collides somewhere with prob 1-(1-p^r)^b, p = 1 -
+    angle/pi), and each (band, bucket) group runs the EXACT all-pairs
+    cosine verifier over only its own vectors. End-to-end a Dataset
+    pipeline: one map_batches (normalize + bucket, vectors replicated
+    n_bands times), one groupby exchange per band-bucket for the verify,
+    one pair-bucket exchange to dedupe pairs found in multiple bands.
+    O(sum_g |g|^2) verify work instead of O(n^2); probabilistic recall
+    (recall-tested vs the exact baseline; raise n_bands for tighter
+    guarantees). Partitioning assumption: a single (band, bucket) group
+    fits one task -- at crawl scale add more band bits to cap bucket
+    sizes. Output (a, b, sim) exactly like cosine_neardup_pairs."""
+    sample = embeddings.take(1)
+    dim = len(sample[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * band_bits))
+    pref = ray.put(planes)
+    _pair_buckets = 32
+
+    def add_band_buckets(df: pd.DataFrame) -> pa.Table:
+        planes_ = ray.get(pref)
+        ids, m = _batch_matrix(df)
+        mn = _normalize(m)
+        bits = (mn @ planes_) > 0  # (n, bands*bits)
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        bkeys = np.empty((len(ids), n_bands), np.int64)
+        for band in range(n_bands):
+            seg = bits[:, band * band_bits : (band + 1) * band_bits]
+            bkeys[:, band] = (
+                np.int64(band) << np.int64(band_bits)
+            ) | (seg * weights).sum(axis=1)
+        rep_ids = np.repeat(ids, n_bands)
+        rep_m = np.repeat(mn, n_bands, axis=0)
+        return _pack(rep_ids, rep_m, {"bkey": bkeys.ravel()})
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64()),
+             "pb": pa.array([], pa.int64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        ids, m = _unpack(t)
+        sims = m @ m.T  # rows arrive pre-normalized
+        sel = (sims >= tau) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(sel)
+        if not len(ii):
+            return empty
+        a = ids[ii]
+        b = ids[jj]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "sim": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+                "pb": pa.array(
+                    (a * np.int64(1000003) + b) % _pair_buckets, pa.int64()
+                ),
+            }
+        )
+
+    def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])[["a", "b", "sim"]]
+
+    out = (
+        embeddings.map_batches(add_band_buckets, batch_format="pandas")
+        .groupby("bkey")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedupe_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "a": pa.array(out["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(out["b"].to_numpy(np.int64), pa.int64()),
+            "sim": pa.array(out["sim"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
 def ivf_topk(
     embeddings: Dataset,
     query_ids: list[int],
@@ -240,11 +355,7 @@ def ivf_topk(
 
     listed = embeddings.map_batches(add_list, batch_format="pandas")
 
-    qset = {int(qq) for qq in query_ids}
-    qdf = embeddings.map_batches(
-        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
-    ).to_pandas()
-    qids, qm = _batch_matrix(qdf)
+    qids, qm = _query_matrix(embeddings, query_ids)
     qn = _normalize(qm)
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
     wanted: dict[int, list[int]] = {}
@@ -329,11 +440,7 @@ def lsh_bucket_topk(
 
     bucketed = embeddings.map_batches(add_bucket, batch_format="pandas")
 
-    qset = {int(q) for q in query_ids}
-    qdf = embeddings.map_batches(
-        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
-    ).to_pandas()
-    qids, qm = _batch_matrix(qdf)
+    qids, qm = _query_matrix(embeddings, query_ids)
     qn = _normalize(qm)
     qb = bucket_of(qn, planes)
     # query bucket + all hamming-1 neighbors

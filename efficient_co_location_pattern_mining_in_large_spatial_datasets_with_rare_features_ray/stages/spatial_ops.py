@@ -92,10 +92,13 @@ def knn(
     if qdf.empty:
         return ray.data.from_arrow(pa.table(out_schema))
 
-    # data bbox via Dataset aggregates (for the coverage stop rule)
+    # data bbox via Dataset aggregates (for the coverage stop rule);
+    # an empty point set yields None aggregates -> no neighbors exist
     from ray.data.aggregate import Max, Min
 
     bbox = instances.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    if bbox is None or bbox.get("min(x)") is None:
+        return ray.data.from_arrow(pa.table(out_schema))
     xmin, xmax = bbox["min(x)"], bbox["max(x)"]
     ymin, ymax = bbox["min(y)"], bbox["max(y)"]
 
@@ -121,20 +124,47 @@ def knn(
         qy = pending["y"].to_numpy(np.float64)
         htx = np.floor(qx / tile).astype(np.int64)
         hty = np.floor(qy / tile).astype(np.int64)
-        rep_rows = []
-        for i in range(len(pending)):
-            for dx in range(-ring, ring + 1):
-                for dy in range(-ring, ring + 1):
-                    rep_rows.append(
-                        (htx[i] + dx, hty[i] + dy, 1,
-                         pending["sid"].iloc[i], qx[i], qy[i])
-                    )
+        # vectorized replica construction: each pending query fans out to
+        # its (2r+1)^2 ring tiles in one repeat/tile pass
+        offs = np.arange(-ring, ring + 1, dtype=np.int64)
+        ddx = np.repeat(offs, len(offs))
+        ddy = np.tile(offs, len(offs))
+        m = len(ddx)
         rep = pd.DataFrame(
-            rep_rows, columns=["tx", "ty", "kind", "sid", "x", "y"]
-        ).astype({"tx": np.int64, "ty": np.int64, "kind": np.int8,
-                  "x": np.float64, "y": np.float64})
+            {
+                "tx": np.repeat(htx, m) + np.tile(ddx, len(pending)),
+                "ty": np.repeat(hty, m) + np.tile(ddy, len(pending)),
+                "kind": np.ones(m * len(pending), np.int8),
+                "sid": np.repeat(pending["sid"].to_numpy(object), m),
+                "x": np.repeat(qx, m),
+                "y": np.repeat(qy, m),
+            }
+        )
+        # semi-join points to the ROUTED tiles before the exchange: the
+        # routed tile-key set is tiny (|pending| x ring tiles, deduped),
+        # broadcast once via ray.put; only points inside some query's
+        # current ring enter the union+groupby (round 2 re-shuffled the
+        # ENTIRE point set every ring escalation)
+        tile_keys = np.unique(
+            (rep["tx"].to_numpy(np.int64) << np.int64(32))
+            ^ (rep["ty"].to_numpy(np.int64) & np.int64(0xFFFFFFFF))
+        )
+        keys_ref = ray.put(tile_keys)
+
+        def keep_routed(df: pd.DataFrame, _ref=keys_ref) -> pd.DataFrame:
+            ks = ray.get(_ref)
+            if not len(df) or not len(ks):
+                return df.iloc[:0]
+            key = (
+                (df["tx"].to_numpy(np.int64) << np.int64(32))
+                ^ (df["ty"].to_numpy(np.int64) & np.int64(0xFFFFFFFF))
+            )
+            pos = np.minimum(np.searchsorted(ks, key), len(ks) - 1)
+            return df[ks[pos] == key]
+
+        routed = pts.map_batches(keep_routed, batch_format="pandas")
         cand = (
-            pts.union(ray.data.from_pandas(rep))
+            routed.union(ray.data.from_pandas(rep))
             .map_batches(
                 lambda df: df.assign(
                     tb=(df["tx"].to_numpy(np.int64) * 1000003
@@ -157,9 +187,16 @@ def knn(
         covers_bbox = (
             (sx_lo <= xmin) & (sx_hi > xmax) & (sy_lo <= ymin) & (sy_hi > ymax)
         )
+        # one groupby pass instead of a per-query boolean filter over the
+        # full candidate frame (O(|pending| x |candidates|) per ring)
+        by_query = (
+            dict(tuple(cand.groupby("query_id", sort=False)))
+            if len(cand) else {}
+        )
+        _no_cand = cand.iloc[:0]
         still = []
         for i, sid in enumerate(pending["sid"]):
-            sub = cand[cand["query_id"] == sid]
+            sub = by_query.get(sid, _no_cand)
             sub = sub.sort_values(
                 ["dist", "nbr_id"], kind="stable").head(k)
             kth = sub["dist"].iloc[-1] if len(sub) >= k else np.inf

@@ -75,6 +75,29 @@ def test_cosine_neardup_pairs_exact(emb_ds, emb_df):
     assert len(want) > 0  # clusters guarantee some near-dups
 
 
+def test_lsh_neardup_matches_exact(emb_ds, emb_df):
+    """The composed LSH-candidates -> per-bucket exact-verify pipeline
+    finds every planted near-dup pair the exact all-pairs baseline finds
+    (deterministic seed; miss probability per pair ~(1-p^r)^b ~ 1e-5)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    tau = 0.98
+    exact = cosine_neardup_pairs(emb_ds, tau)
+    want = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    t = lsh_neardup_pairs(emb_ds, tau, n_bands=12, band_bits=6)
+    got = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    assert len(want) > 0
+    assert got == want  # no false positives (exact verify), full recall here
+    # sims agree with the exact op to the rounding
+    exact_sims = dict(zip(zip(exact["a"].to_pylist(), exact["b"].to_pylist()),
+                          exact["sim"].to_pylist()))
+    for a, b, s in zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                       t["sim"].to_pylist()):
+        assert abs(s - exact_sims[(a, b)]) < 1e-9
+
+
 def test_lsh_topk_recall_vs_bruteforce(emb_ds, emb_df):
     qids = [0, 5, 17]
     brute = numpy_topk(emb_df, qids, 10)

@@ -1,0 +1,72 @@
+"""Regenerate the committed VALUES-literal oracles for the deterministic
+approximate ANN queries (ann_topk_lsh, ann_topk_ivf).
+
+These ops are approximate by design -- no SQL can restate hyperplane-sign
+or k-means bucketing -- but their fixed seeds make the output byte-stable,
+so a committed golden gives the driver an exact comparison target at its
+sf0.01 inputs. Recall quality is tested separately against the exact
+brute-force baseline (tests/test_similarity.py).
+
+Usage: python tools/gen_value_goldens.py [sf_dir]
+Writes goldens/{name}_sf001.sql.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def to_values_sql(t, float_cols: set[str]) -> str:
+    cols = t.column_names
+    lines = []
+    for row in t.to_pylist():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if c in float_cols:
+                vals.append(f"CAST({v!r} AS DOUBLE)")
+            else:
+                vals.append(repr(v))
+        lines.append("  (" + ", ".join(vals) + ")")
+    collist = ", ".join(cols)
+    return (
+        "-- committed golden (deterministic fixed-seed output at sf0.01);\n"
+        "-- regenerate with tools/gen_value_goldens.py\n"
+        f"SELECT * FROM (VALUES\n" + ",\n".join(lines) + f"\n) AS t({collist})"
+    )
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        queries as q,
+    )
+
+    for name, fn in (
+        ("ann_topk_lsh", q.q_ann_topk_lsh),
+        ("ann_topk_ivf", q.q_ann_topk_ivf),
+    ):
+        t = fn(SF_DIR)
+        sql = to_values_sql(t, float_cols={"sim"})
+        out = os.path.join(REPO, "goldens", f"{name}_sf001.sql")
+        with open(out, "w") as f:
+            f.write(sql)
+        print(f"wrote {out} ({t.num_rows} rows)")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
