@@ -121,47 +121,39 @@ def mine(
 ) -> MiningRun:
     """Run the full pipeline. ``instances`` must have columns
     (instance_id: string, feature: string, x: float64, y: float64)."""
-    from ..stages.sharded import encode_instance_ids
-
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
     origin = cfg.grid_origin
-    # dictionary-encode instance ids once: every later exchange (pair
-    # table, star lists, subtree shuffle) moves int64 instead of strings.
-    # The encode's sorted blocks are materialized, so the metadata scan
-    # below and the pair join read them from the object store -- the
+    # dictionary-encode instance ids once (every later exchange moves
+    # int64 instead of strings), FUSED with the metadata scan: one pass
+    # assigns codes and aggregates feature counts + grid origin, and the
+    # coded blocks feed the pair join from the object store -- the
     # source is read exactly once per job.
-    instances = encode_instance_ids(instances)
+    from ..stages.sharded import encode_and_scan
+
+    instances, counts, scanned_origin = encode_and_scan(instances)
     if ctx is None:
-        counts, scanned_origin = scan_metadata(instances)
         ctx = FeatureContext(counts)
-        origin = origin or scanned_origin
-    elif origin is None:
-        origin = global_origin(instances)
-    pairs = neighbor_pairs(instances, cfg, origin=origin)
-    stars = build_stars(pairs, ctx, cfg)
-    patterns = mine_subtrees(stars, ctx, cfg)
+    origin = origin or scanned_origin
 
-    def _coerce(t: pa.Table) -> pa.Table:
-        # groupby partitions with zero groups yield schemaless empty blocks;
-        # pin every block to PATTERN_SCHEMA so consumers see one stable schema
-        if t.num_rows == 0 or not set(PATTERN_SCHEMA.names) <= set(t.column_names):
-            return PATTERN_SCHEMA.empty_table()
-        return t.select(PATTERN_SCHEMA.names).cast(PATTERN_SCHEMA)
+    # barrier-free task graph: pair buckets -> edge slices -> star build
+    # (pre-split by subtree) -> per-subtree level loop; each stage starts
+    # the moment its inputs exist (stages/mining.mine_task_graph)
+    from ..stages.mining import mine_task_graph
 
-    patterns = patterns.map_batches(_coerce, batch_format="pyarrow")
-    patterns = patterns.sort(["k", "pattern"])
-    # sort() is the consuming barrier; time to here covers the whole DAG
-    patterns = patterns.materialize()
-    secs = time.perf_counter() - t0
-    try:
-        stats = patterns.stats()
-    except Exception:
-        stats = None
-    return MiningRun(
-        patterns=patterns, ctx=ctx, config=cfg, seconds=secs,
-        stage_stats=stats,
+    tasks = mine_task_graph(instances, ctx, cfg, origin)
+    tables = [t for t in ray.get(tasks) if t.num_rows]
+    out = (
+        pa.concat_tables(tables).combine_chunks()
+        if tables else PATTERN_SCHEMA.empty_table()
     )
+    # tiny result: sort on the driver (same (k, pattern) order as before)
+    import pyarrow.compute as pc  # noqa: F401
+
+    out = out.sort_by([("k", "ascending"), ("pattern", "ascending")])
+    patterns = ray.data.from_arrow(out)
+    secs = time.perf_counter() - t0
+    return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
 
 
 def mine_coordinated(
@@ -186,21 +178,19 @@ def mine_coordinated(
         ShardMiner,
         build_shard_stars,
         coordinated_level_loop,
-        encode_instance_ids,
+        encode_and_scan,
     )
     from ..state.checkpoint import checkpoint_dataset, is_complete
 
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
     origin = cfg.grid_origin
-    # dictionary-encode instance ids to dense global int64 codes: the
-    # whole sharded path (stars, shard hashing, per-level distinct
-    # exchange) then runs on vectorized int64 ops instead of strings.
-    # Encode FIRST: its sorted blocks are materialized, so the metadata
-    # scan and the pair join read the source exactly once per job.
-    instances = encode_instance_ids(instances)
+    # dictionary-encode instance ids to dense global int64 codes (the
+    # whole sharded path then runs on vectorized int64 ops instead of
+    # strings), fused with the metadata scan -- one pass, source read
+    # exactly once per job.
+    instances, counts, scanned_origin = encode_and_scan(instances)
     if ctx is None:
-        counts, scanned_origin = scan_metadata(instances)
         ctx = FeatureContext(counts)
         origin = origin or scanned_origin
     total_cpus = int(_ray.cluster_resources().get("CPU", 8))

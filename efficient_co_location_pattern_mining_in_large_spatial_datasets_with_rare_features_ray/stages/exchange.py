@@ -1,0 +1,107 @@
+"""Static bucket exchange -- the skew-proof replacement for
+``groupby(int key).map_groups`` over SMALL key spaces.
+
+Ray Data's groupby is a sort-based shuffle whose range-boundary sampling
+degenerates when the key space is tiny (n_features subtrees, a few
+hundred hash buckets): measured on this engine's 1.6M-row fixture at 16
+cpus, the two groupby exchanges of the mining path (tile pair join +
+star buckets) spent ~90 s in shuffle machinery while ALL real compute in
+those stages summed to ~9 s. With the key already a dense int bucket in
+``[0, n_parts)`` the exchange needs no boundary sampling and no sort:
+
+1. one parallel task per materialized block slices it by bucket
+   (``num_returns`` separate objects -- a single argsort over an int
+   column, zero-copy slices);
+2. one task per bucket fetches only its own slices, concatenates, and
+   applies the group function.
+
+Linear work, deterministic placement, skew bounded only by the bucket
+hash. This is the same exchange shape ``stages/mining.py`` uses for the
+per-subtree split (where it replaced a 40-60 s shuffle) and
+``stages/sharded.py`` for shard loads, factored out for reuse.
+
+The exchange runs EAGERLY (it materializes its input); the result is
+returned as a Dataset over the output object refs, so downstream stages
+keep streaming. Empty buckets are shipped as zero-row slices, keeping
+the input schema end-to-end -- the group function must map an empty
+input to its (correctly typed) empty output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+@ray.remote
+def _split_by_key(t, key: str, n: int):
+    """Slice one block into n sub-tables by its int bucket column
+    (values must lie in [0, n)). Returns zero-row slices for empty
+    buckets so every downstream task sees the input schema. Ray emits
+    EMPTY upstream blocks untransformed (the producing UDF never runs),
+    so a block may lack the key column entirely -> all-None row."""
+    import pandas as pd
+
+    if isinstance(t, pd.DataFrame):  # defensive: upstream pandas block
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if key not in t.column_names:
+        return tuple([None] * n) if n > 1 else None
+    codes = t[key].to_numpy(zero_copy_only=False)
+    if len(codes) > 1 and not np.all(codes[1:] >= codes[:-1]):
+        order = np.argsort(codes, kind="stable")
+        t = t.take(pa.array(order))
+        codes = codes[order]
+    bounds = np.searchsorted(codes, np.arange(n + 1))
+    outs = [
+        t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(n)
+    ]
+    return tuple(outs) if n > 1 else outs[0]
+
+
+@ray.remote
+def _apply_group(fn: Callable[[pa.Table], pa.Table], *slices) -> pa.Table:
+    parts = [s for s in slices if s is not None and s.num_rows]
+    if not parts:
+        # all-empty bucket: a zero-row slice keeps the input schema; if
+        # every input block was a schema-less empty pass-through, mirror
+        # Ray's own empty-block behavior (column-less empty table)
+        parts = [s for s in slices if s is not None][:1]
+        if not parts:
+            return pa.table({})
+    return fn(pa.concat_tables(parts).combine_chunks())
+
+
+def static_group_exchange(
+    ds: Dataset,
+    key: str,
+    n_parts: int,
+    fn: Callable[[pa.Table], pa.Table],
+) -> Dataset:
+    """``ds.groupby(key).map_groups(fn)`` semantics for an int bucket
+    column ``key`` with values in ``[0, n_parts)``, executed as a static
+    split exchange (see module docstring). ``fn`` receives one Arrow
+    table per bucket (all rows of that bucket, possibly zero) and must
+    return an Arrow table."""
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        raise ValueError("static exchange over an empty dataset")
+    grids = [
+        _split_by_key.options(num_returns=n_parts).remote(r, key, n_parts)
+        for r in refs
+    ]
+    if n_parts == 1:  # num_returns=1 yields a bare ref
+        grids = [[g] for g in grids]
+    fn_ref = ray.put(fn)
+    tasks = [
+        _apply_group.remote(fn_ref, *[grids[b][i] for b in range(len(grids))])
+        for i in range(n_parts)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(tasks)

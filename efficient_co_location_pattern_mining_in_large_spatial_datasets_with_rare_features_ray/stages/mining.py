@@ -139,6 +139,141 @@ def _mine_subtree_task(
     )
 
 
+@ray.remote
+def _pairs_to_edge_slices(rank: dict, n_buckets: int, d: float, *inst_slices):
+    """One pair-exchange bucket: instance slices -> qualifying pairs ->
+    directed keyed edges, pre-sliced by STAR bucket (num_returns) so the
+    star builders fetch only their own rows. The pair table never
+    materializes as a standalone dataset on this path."""
+    from .pairs import _pair_kernel
+    from .stars import edge_table
+
+    none_row = tuple([None] * n_buckets) if n_buckets > 1 else None
+    parts = [s for s in inst_slices if s is not None and s.num_rows]
+    if not parts:
+        return none_row
+    pairs = _pair_kernel(pa.concat_tables(parts).combine_chunks(), d)
+    if pairs.num_rows == 0:
+        return none_row
+    edges = edge_table(pairs, rank, n_buckets)
+    codes = edges["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    edges = edges.take(pa.array(order))
+    codes = codes[order]
+    bounds = np.searchsorted(codes, np.arange(n_buckets + 1))
+    outs = [
+        edges.slice(int(bounds[i]), int(n))
+        if (n := bounds[i + 1] - bounds[i]) else None
+        for i in range(n_buckets)
+    ]
+    return tuple(outs) if n_buckets > 1 else outs[0]
+
+
+@ray.remote
+def _build_star_slices(n_feats: int, *edge_slices):
+    """One star bucket: edge slices -> star table (already sorted by
+    subtree rank) -> per-subtree slices (num_returns), handed straight
+    to the subtree miners. Fusing the split into the build task means
+    the 57M-row star table is written to plasma exactly once."""
+    from .stars import _build_bucket_stars
+
+    parts = [s for s in edge_slices if s is not None and s.num_rows]
+    if not parts:
+        return tuple([None] * n_feats) if n_feats > 1 else None
+    t = _build_bucket_stars(pa.concat_tables(parts).combine_chunks())
+    if t.num_rows == 0:
+        return tuple([None] * n_feats) if n_feats > 1 else None
+    codes = t["subtree"].to_numpy(zero_copy_only=False)
+    bounds = np.searchsorted(codes, np.arange(n_feats + 1))
+    outs = [
+        t.slice(int(bounds[i]), int(n))
+        if (n := bounds[i + 1] - bounds[i]) else None
+        for i in range(n_feats)
+    ]
+    return tuple(outs) if n_feats > 1 else outs[0]
+
+
+def mine_task_graph(
+    instances: Dataset,
+    ctx: FeatureContext,
+    cfg: MiningConfig,
+    origin: tuple[float, float],
+) -> list:
+    """The flagship mining path as ONE barrier-free task graph:
+
+        instances (cell/tile/bucket columns via Dataset maps)
+          -> split by pair bucket            (static exchange slices)
+          -> pair kernel + edge emit         (one task per pair bucket,
+                                              output pre-sliced by star bucket)
+          -> star build                      (one task per star bucket,
+                                              output pre-sliced by subtree)
+          -> Algorithm-1 level loop          (one task per subtree)
+
+    Raw tasks rather than chained Datasets because each stage is a
+    static multi-way exchange (num_returns routing) that the Dataset API
+    cannot express without a sort shuffle, and because Dataset
+    materialize() barriers between stages serialized the pipeline: with
+    direct object handoff a subtree miner starts the moment its last
+    star slice exists, while other buckets are still building (the
+    rarest-feature straggler overlaps the star/pair work instead of
+    waiting behind a global barrier). Returns the per-subtree pattern
+    table refs (PATTERN_SCHEMA)."""
+    import ray as _ray
+
+    from .grid import assign_cells, replicate_to_tiles
+    from .exchange import _split_by_key
+    from .stars import _stable_bucket
+
+    d = cfg.cell_size()
+    nb = cfg.star_buckets
+
+    ds = assign_cells(instances, d, origin)
+    ds = replicate_to_tiles(ds, cfg.tile_cells)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        tiles = t["tile"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(_stable_bucket(tiles, nb), pa.int64())
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    refs = ds.materialize().to_arrow_refs()
+    inst_grids = [
+        _split_by_key.options(num_returns=nb).remote(r, "bucket", nb)
+        for r in refs
+    ]
+    if nb == 1:
+        inst_grids = [[g] for g in inst_grids]
+    rank_ref = _ray.put(dict(ctx.rank))
+    edge_grids = [
+        _pairs_to_edge_slices.options(num_returns=nb).remote(
+            rank_ref, nb, d,
+            *[inst_grids[b][i] for b in range(len(inst_grids))],
+        )
+        for i in range(nb)
+    ]
+    if nb == 1:
+        edge_grids = [[g] for g in edge_grids]
+    feats = list(ctx.order)
+    nf = len(feats)
+    star_grids = [
+        _build_star_slices.options(num_returns=nf).remote(
+            nf, *[edge_grids[p][s] for p in range(nb)]
+        )
+        for s in range(nb)
+    ]
+    if nf == 1:
+        star_grids = [[g] for g in star_grids]
+    ctx_ref = _ray.put(ctx)
+    return [
+        _mine_subtree_task.remote(
+            ctx_ref, cfg.min_prevalence, cfg.measure, f,
+            *[star_grids[s][fi] for s in range(nb)],
+        )
+        for fi, f in enumerate(feats)
+    ]
+
+
 def mine_subtrees(
     stars: Dataset, ctx: FeatureContext, cfg: MiningConfig
 ) -> Dataset:

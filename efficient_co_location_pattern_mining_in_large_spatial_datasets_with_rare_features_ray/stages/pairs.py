@@ -31,30 +31,34 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
-    """All qualifying pairs within one tile group (home points + halo).
-    Loops over home cells (small, side=d) with numpy distance math inside;
-    pair order within the output is canonicalized a_id < b_id so the pair
-    table is deterministic under any partitioning. Ids may be strings
-    (reference layout) or int64 dictionary codes (the salted path);
-    output id dtype follows the input."""
-    ids = df["instance_id"].to_numpy()
-    feats = df["feature"].to_numpy()
-    xs = df["x"].to_numpy(dtype=np.float64)
-    ys = df["y"].to_numpy(dtype=np.float64)
-    cx = df["cell_x"].to_numpy(dtype=np.int64)
-    cy = df["cell_y"].to_numpy(dtype=np.int64)
-    home = df["home"].to_numpy(dtype=bool)
+def _pair_kernel(t: pa.Table, d: float) -> pa.Table:
+    """All qualifying pairs within one exchange bucket (home points +
+    halo, possibly MANY tiles -- cells are keyed by (tile, cell) so
+    co-bucketed tiles cannot see each other's replicas). Loops over home
+    cells (small, side=d) with numpy distance math inside; pair order
+    within the output is canonicalized a_id < b_id so the pair table is
+    deterministic under any partitioning. Ids may be strings (reference
+    layout) or int64 dictionary codes (the salted path); output id dtype
+    follows the input."""
+    ids = t["instance_id"].to_numpy(zero_copy_only=False)
+    feats = t["feature"].to_numpy(zero_copy_only=False)
+    xs = t["x"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    ys = t["y"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    cx = t["cell_x"].to_numpy(zero_copy_only=False)
+    cy = t["cell_y"].to_numpy(zero_copy_only=False)
+    tl = t["tile"].to_numpy(zero_copy_only=False)
+    home = t["home"].to_numpy(zero_copy_only=False).astype(bool, copy=False)
     d2 = float(d) * float(d)
 
-    # bucket rows by cell
-    order = np.lexsort((cy, cx))
-    cells: dict[tuple[int, int], np.ndarray] = {}
-    key = np.stack([cx[order], cy[order]], axis=1)
+    # bucket rows by (tile, cell)
+    order = np.lexsort((cy, cx, tl))
+    cells: dict[tuple[int, int, int], np.ndarray] = {}
     if len(order):
+        key = np.stack([tl[order], cx[order], cy[order]], axis=1)
         change = np.nonzero(np.any(np.diff(key, axis=0) != 0, axis=1))[0] + 1
         for grp in np.split(order, change):
-            cells[(int(cx[grp[0]]), int(cy[grp[0]]))] = grp
+            r0 = grp[0]
+            cells[(int(tl[r0]), int(cx[r0]), int(cy[r0]))] = grp
 
     ai: list[np.ndarray] = []
     bi: list[np.ndarray] = []
@@ -67,7 +71,7 @@ def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
             ai.append(ii[ok])
             bi.append(jj[ok])
 
-    for (ccx, ccy), grp in cells.items():
+    for (ctl, ccx, ccy), grp in cells.items():
         hgrp = grp[home[grp]]
         if hgrp.size == 0:
             continue  # pure-halo cell: its pairs belong to another tile
@@ -77,7 +81,7 @@ def _pair_kernel(df: pd.DataFrame, d: float) -> pa.Table:
             emit(hgrp[iu], hgrp[ju])
         # half-neighborhood cross-cell pairs
         for ox, oy in _HALF_OFFSETS:
-            other = cells.get((ccx + ox, ccy + oy))
+            other = cells.get((ctl, ccx + ox, ccy + oy))
             if other is None:
                 continue
             ii = np.repeat(hgrp, other.size)
@@ -115,12 +119,31 @@ def neighbor_pairs(
     origin: tuple[float, float] | None = None,
 ) -> Dataset:
     """instances(instance_id, feature, x, y) -> pairs(a_id, a_feature,
-    b_id, b_feature), one row per unordered qualifying pair."""
+    b_id, b_feature), one row per unordered qualifying pair.
+
+    The exchange is the static split (stages/exchange.py) over
+    ``hash(tile) % star_buckets``, not ``groupby("tile")``: the sort
+    shuffle's boundary sampling and per-tile group bookkeeping dominated
+    the stage (it also created one Ray group per tile -- thousands of
+    groups); the kernel partitions by (tile, cell) internally so
+    co-bucketed tiles stay isolated."""
+    from .exchange import static_group_exchange
+    from .stars import _stable_bucket
+
     d = cfg.cell_size()
     if origin is None:
         origin = cfg.grid_origin or global_origin(instances)
     ds = assign_cells(instances, d, origin)
     ds = replicate_to_tiles(ds, cfg.tile_cells)
-    return ds.groupby("tile").map_groups(
-        lambda df: _pair_kernel(df, d), batch_format="pandas"
+    n_buckets = cfg.star_buckets
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        tiles = t["tile"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(_stable_bucket(tiles, n_buckets), pa.int64())
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return static_group_exchange(
+        ds, "bucket", n_buckets, lambda t: _pair_kernel(t, d)
     )

@@ -38,63 +38,83 @@ from ray.data import Dataset
 from ..canonical import FeatureContext
 from ..config import MiningConfig
 
-def _stable_bucket(keys: pd.Series, n_buckets: int) -> np.ndarray:
+def _stable_bucket(keys, n_buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket (pandas hash_array uses a
     fixed key; python's hash() is salted per process and must not be
     used). Integer keys take the vectorized int64 fast path."""
-    arr = keys.to_numpy()
+    arr = keys.to_numpy() if isinstance(keys, pd.Series) else np.asarray(keys)
     if not np.issubdtype(arr.dtype, np.integer):
-        arr = keys.to_numpy(dtype=object)
+        arr = np.asarray(arr, dtype=object)
     return (
         pd.util.hash_array(arr, categorize=False) % np.uint64(n_buckets)
     ).astype(np.int64)
 
 
-def directed_keyed_edges(
-    pairs: Dataset, ctx: FeatureContext, n_buckets: int
-) -> Dataset:
-    """pairs -> rows keyed by the instance the row informs:
+def _rank_codes(col: pa.ChunkedArray | pa.Array, rank: dict) -> np.ndarray:
+    """String feature column -> int16 canonical ranks via its dictionary
+    (rank-maps only the distinct values, not every row)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = arr.dictionary_encode()
+    lut = np.array(
+        [rank[v] for v in enc.dictionary.to_pylist()], np.int16
+    ) if len(enc.dictionary) else np.empty(0, np.int16)
+    return lut[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def edge_table(t: pa.Table, rank: dict, n_buckets: int) -> pa.Table:
+    """One pair block -> directed keyed edge rows:
     kind=0: star edge   (key=center, feat, other_feat=nbr feature, other=nbr id)
     kind=1: subtree hint (key=nbr, feat, other_feat=center feature)
 
     Features travel as int16 canonical ranks; the rank comparison IS the
     ordered-direction predicate (count asc, lex tie -- canonical.py)."""
+    ra = _rank_codes(t["a_feature"], rank)
+    rb = _rank_codes(t["b_feature"], rank)
+    ia = t["a_id"].to_numpy(zero_copy_only=False)
+    ib = t["b_id"].to_numpy(zero_copy_only=False)
+    # ordered direction a->b (b in a's star): rank(a) < rank(b)
+    a_keeps_b = ra < rb
+    # pairs are cross-type so exactly one direction holds; emit center c,
+    # neighbor o for the kept direction
+    c_id = np.where(a_keeps_b, ia, ib)
+    c_f = np.where(a_keeps_b, ra, rb).astype(np.int16)
+    o_id = np.where(a_keeps_b, ib, ia)
+    o_f = np.where(a_keeps_b, rb, ra).astype(np.int16)
+    # sentinel matching the id dtype keeps the column int-typed
+    # end-to-end when ids are dictionary codes (object-dtype mixing
+    # measured as a major star-build cost)
+    int_ids = np.issubdtype(np.asarray(ia).dtype, np.integer)
+    fill = np.full(
+        len(o_id), -1, dtype=c_id.dtype
+    ) if int_ids else np.full(len(o_id), "", dtype=object)
+    id_t = pa.from_numpy_dtype(c_id.dtype) if int_ids else pa.string()
+    key = np.concatenate([c_id, o_id])
+    return pa.table(
+        {
+            "key": pa.array(key, id_t),
+            "feat": pa.array(np.concatenate([c_f, o_f]), pa.int16()),
+            "other_feat": pa.array(np.concatenate([o_f, c_f]), pa.int16()),
+            "other": pa.array(np.concatenate([o_id, fill]), id_t),
+            "kind": pa.array(
+                np.repeat(np.array([0, 1], np.int8), len(c_id)), pa.int8()
+            ),
+            "bucket": pa.array(_stable_bucket(key, n_buckets), pa.int64()),
+        }
+    )
+
+
+def directed_keyed_edges(
+    pairs: Dataset, ctx: FeatureContext, n_buckets: int
+) -> Dataset:
+    """Dataset wrapper over ``edge_table`` (Arrow-native blocks; the
+    exchange slices them zero-copy)."""
     rank = dict(ctx.rank)
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ra = df["a_feature"].map(rank).to_numpy(np.int16)
-        rb = df["b_feature"].map(rank).to_numpy(np.int16)
-        ia = df["a_id"].to_numpy()
-        ib = df["b_id"].to_numpy()
-        # ordered direction a->b (b in a's star): rank(a) < rank(b)
-        a_keeps_b = ra < rb
-        # pairs are cross-type so exactly one direction holds; emit center c,
-        # neighbor o for the kept direction
-        c_id = np.where(a_keeps_b, ia, ib)
-        c_f = np.where(a_keeps_b, ra, rb).astype(np.int16)
-        o_id = np.where(a_keeps_b, ib, ia)
-        o_f = np.where(a_keeps_b, rb, ra).astype(np.int16)
-        star = pd.DataFrame(
-            {"key": c_id, "feat": c_f, "other_feat": o_f, "other": o_id,
-             "kind": np.int8(0)}
-        )
-        # sentinel matching the id dtype keeps the column int-typed
-        # end-to-end when ids are dictionary codes (object-dtype mixing
-        # measured as a major star-build cost)
-        fill = -1 if np.issubdtype(ia.dtype, np.integer) else ""
-        hint = pd.DataFrame(
-            {"key": o_id, "feat": o_f, "other_feat": c_f, "other": fill,
-             "kind": np.int8(1)}
-        )
-        hint["other"] = hint["other"].astype(star["other"].dtype, copy=False)
-        out = pd.concat([star, hint], ignore_index=True)
-        out["bucket"] = _stable_bucket(out["key"], n_buckets)
-        return out
-
-    return pairs.map_batches(fn, batch_format="pandas")
+    return pairs.map_batches(
+        lambda t: edge_table(t, rank, n_buckets), batch_format="pyarrow"
+    )
 
 
-def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
+def _build_bucket_stars(t: pa.Table) -> pa.Table:
     """Star + subtree-key construction for every instance whose key
     hashes into this bucket, exploded per subtree key.
 
@@ -111,24 +131,28 @@ def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
     """
     from ..mining_core import _range_gather
 
-    kind = df["kind"].to_numpy()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
     smask = kind == 0
-    key_raw = df["key"].to_numpy()
+    key_raw = t["key"].to_numpy(zero_copy_only=False)
     int_ids = np.issubdtype(key_raw.dtype, np.integer)
     if int_ids:
         key_all = key_raw.astype(np.int64, copy=False)
-        other_all = df["other"].to_numpy().astype(np.int64, copy=False)
+        other_all = (
+            t["other"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        )
         id_uniq = None
     else:
         # local string-id interning; decoded back on output
-        other_obj = df["other"].to_numpy(dtype=object)
+        other_obj = t["other"].to_numpy(zero_copy_only=False)
         codes, id_uniq = pd.factorize(
             np.concatenate([key_raw, other_obj]), sort=False
         )
         key_all = codes[: len(key_raw)].astype(np.int64)
         other_all = codes[len(key_raw):].astype(np.int64)
-    f_all = df["feat"].to_numpy(np.int16)
-    of_all = df["other_feat"].to_numpy(np.int16)
+    f_all = t["feat"].to_numpy(zero_copy_only=False).astype(np.int16, copy=False)
+    of_all = (
+        t["other_feat"].to_numpy(zero_copy_only=False).astype(np.int16, copy=False)
+    )
     nf = int(max(f_all.max(initial=-1), of_all.max(initial=-1))) + 1
 
     key_s = key_all[smask]
@@ -224,9 +248,16 @@ def _build_bucket_stars(df: pd.DataFrame) -> pa.Table:
 def build_stars(
     pairs: Dataset, ctx: FeatureContext, cfg: MiningConfig
 ) -> Dataset:
+    """Edges -> per-bucket star tables via the static split exchange
+    (stages/exchange.py): ``groupby("bucket")`` is a sort-based shuffle
+    whose boundary sampling degenerates on the small bucket key space --
+    measured 90 s of shuffle machinery against ~9 s of real compute for
+    this stage pair at 1.6M rows / 16 cpus."""
+    from .exchange import static_group_exchange
+
     edges = directed_keyed_edges(pairs, ctx, cfg.star_buckets)
-    return edges.groupby("bucket").map_groups(
-        _build_bucket_stars, batch_format="pandas"
+    return static_group_exchange(
+        edges, "bucket", cfg.star_buckets, _build_bucket_stars
     )
 
 
