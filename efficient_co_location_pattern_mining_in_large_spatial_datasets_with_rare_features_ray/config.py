@@ -25,6 +25,10 @@ class MiningConfig:
     tile_cells: int = 32        # cells per tile side; halo overhead ~ 2/tile_cells
     star_buckets: int = 128     # hash buckets for the star-build shuffle
     mining_concurrency: int | None = None  # cap on concurrent subtree groups
+    # split each subtree's k>=3 level loop into one task per prevalent
+    # second feature (exact decomposition; breaks the rarest-subtree
+    # straggler that otherwise bounds scaling)
+    branch_split: bool = True
 
     # Interest measure: "wpi" (rare-feature weighted, reference default) or "pi"
     measure: str = "wpi"

@@ -222,6 +222,7 @@ def filter_candidates(
     min_prev: float,
     ctx: FeatureContext,
     use_lemma3: bool,
+    branch_mode: bool = False,
 ) -> list[tuple[str, ...]]:
     """Lemma-2 / Lemma-3 prune (src/miner.cpp:152-215). Called only for
     k >= 3 (the k==2 skip lives in the level loop, src/miner.cpp:69-71).
@@ -231,6 +232,13 @@ def filter_candidates(
     Lemma 3 (serial only): for the subset dropping f_min, prune when
     ``PI(subset over T_{k-1}) * (1/RI(f_max, C)) < min_prev``; mirrors the
     reference's IEEE quirks (RI==0 -> w=inf; PI 0 * inf = NaN -> no prune).
+
+    ``branch_mode``: the subset dropping position 1 (the branch's second
+    feature) lives in a SIBLING branch whose prevalent set this task
+    cannot see; skip that one check. A skipped prune only costs an extra
+    expansion -- the exact WPI test still decides prevalence -- so the
+    branch-parallel decomposition (``mine_branch``) emits the identical
+    pattern set.
     """
     if not candidates or not prev_prevalent:
         return []
@@ -241,6 +249,8 @@ def filter_candidates(
         for drop in range(len(cand)):
             subset = cand[:drop] + cand[drop + 1 :]
             if drop != 0:
+                if branch_mode and drop == 1:
+                    continue  # cross-branch subset: unknowable here
                 if subset not in prev_set:
                     valid = False
                     break
@@ -376,6 +386,129 @@ def _distinct_count(col: np.ndarray, flags: np.ndarray | None) -> int:
     return n
 
 
+def _select_level(
+    candidates: list[tuple[str, ...]],
+    tables: dict[tuple[str, ...], np.ndarray],
+    ctx: FeatureContext,
+    min_prev: float,
+    measure: str,
+    k: int,
+    flags: np.ndarray | None,
+    results: list[dict],
+) -> list[tuple[str, ...]]:
+    """selectPrevColocations for one level (src/miner.cpp:74-90): score
+    every candidate from its exact instance table, append prevalent
+    records to ``results``, return the level's prevalent patterns."""
+    prev_prevalent: list[tuple[str, ...]] = []
+    for cand in candidates:
+        rows = tables.get(cand)
+        dist = (
+            [_distinct_count(rows[:, i], flags) for i in range(len(cand))]
+            if rows is not None
+            else [0] * len(cand)
+        )
+        m = select_metrics(cand, dist, ctx)
+        score = m["wpi"] if measure == "wpi" else m["pi"]
+        if score >= min_prev:
+            prev_prevalent.append(cand)
+            results.append(
+                {
+                    "pattern": cand,
+                    "k": k,
+                    "wpi": m["wpi"],
+                    "pi": m["pi"],
+                    "prs": m["prs"],
+                    "n_rows": int(rows.shape[0]) if rows is not None else 0,
+                }
+            )
+    return prev_prevalent
+
+
+def mine_k2(
+    index,
+    root_centers: np.ndarray,
+    ctx: FeatureContext,
+    min_prev: float,
+    root: str,
+    measure: str = "wpi",
+) -> tuple[list[dict], list[str]]:
+    """The exact level-2 pass of ``root``'s ordered NR-subtree: metrics
+    for every candidate (root, g), rank(g) > rank(root). Returns the
+    prevalent records plus the prevalent second features -- the shared
+    input every ``mine_branch`` task needs for its k=3 candidate set."""
+    csr = as_csr(index)
+    flags = np.zeros(csr.n_codes, bool) if csr.n_codes <= _FLAGS_MAX else None
+    t1 = {(root,): root_centers.reshape(-1, 1).astype(np.int32, copy=False)}
+    ri = ctx.rank[root]
+    candidates = [(root, g) for g in ctx.order[ri + 1 :]]
+    tables = expand_tables(candidates, t1, csr)
+    results: list[dict] = []
+    prevalent = _select_level(
+        candidates, tables, ctx, min_prev, measure, 2, flags, results
+    )
+    return results, [p[1] for p in prevalent]
+
+
+def mine_branch(
+    index,
+    root_centers: np.ndarray,
+    ctx: FeatureContext,
+    min_prev: float,
+    root: str,
+    second: str,
+    prevalent_seconds: list[str],
+    measure: str = "wpi",
+) -> list[dict]:
+    """Mine ONE branch of ``root``'s subtree: all prevalent patterns
+    (root, second, ...) with k >= 3.
+
+    The level loop decomposes exactly at the second feature: apriori-gen
+    joins two (k-1)-patterns sharing their first k-2 features, so every
+    k >= 4 candidate's generating prefixes live in the same branch, and
+    the k=3 candidate set {(root, second, g)} needs only the prevalent
+    SECOND features (computed once by ``mine_k2``, broadcast here). Both
+    k=3 Lemma-2 subsets containing root are therefore checked exactly;
+    at k >= 4 the subset dropping ``second`` is cross-branch and its
+    check is skipped (``filter_candidates`` branch_mode -- a lost prune,
+    never a lost/spurious pattern). Emits k >= 3 records only; level 2
+    is the prep task's output."""
+    csr = as_csr(index)
+    flags = np.zeros(csr.n_codes, bool) if csr.n_codes <= _FLAGS_MAX else None
+    t1 = root_centers.reshape(-1, 1).astype(np.int32, copy=False)
+    t12 = _expand_one(t1, second, csr)
+    if t12 is None:
+        return []
+    rank = ctx.rank
+    prev_tables: dict[tuple[str, ...], np.ndarray] = {(root, second): t12}
+    # exact k=3 candidates: both 2-subsets containing root prevalent
+    candidates = [
+        (root, second, g)
+        for g in prevalent_seconds
+        if rank[g] > rank[second]
+    ]
+    prev_prevalent: list[tuple[str, ...]] = []
+    results: list[dict] = []
+    k = 3
+    while candidates:
+        if k > 3:
+            candidates = filter_candidates(
+                candidates, prev_prevalent, prev_tables, min_prev, ctx,
+                use_lemma3=False, branch_mode=True,
+            )
+            if not candidates:
+                break
+        tables = expand_tables(candidates, prev_tables, csr)
+        prev_prevalent = _select_level(
+            candidates, tables, ctx, min_prev, measure, k, flags, results
+        )
+        if not prev_prevalent:
+            break
+        prev_tables = tables
+        candidates = gen_candidates(prev_prevalent, ctx)
+        k += 1
+    return results
+
+
 def mine_local(
     index: dict[tuple[int, str], np.ndarray],
     t1: dict[str, np.ndarray],
@@ -423,28 +556,9 @@ def mine_local(
             if not candidates:
                 break
         tables = expand_tables(candidates, prev_tables, index)
-        prev_prevalent = []
-        for cand in candidates:
-            rows = tables.get(cand)
-            dist = (
-                [_distinct_count(rows[:, i], flags) for i in range(len(cand))]
-                if rows is not None
-                else [0] * len(cand)
-            )
-            m = select_metrics(cand, dist, ctx)
-            score = m["wpi"] if measure == "wpi" else m["pi"]
-            if score >= min_prev:
-                prev_prevalent.append(cand)
-                results.append(
-                    {
-                        "pattern": cand,
-                        "k": k,
-                        "wpi": m["wpi"],
-                        "pi": m["pi"],
-                        "prs": m["prs"],
-                        "n_rows": int(rows.shape[0]) if rows is not None else 0,
-                    }
-                )
+        prev_prevalent = _select_level(
+            candidates, tables, ctx, min_prev, measure, k, flags, results
+        )
         if not prev_prevalent:
             break
         prev_tables = tables

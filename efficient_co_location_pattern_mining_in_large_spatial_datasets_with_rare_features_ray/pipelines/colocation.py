@@ -141,7 +141,9 @@ def mine(
     # the moment its inputs exist (stages/mining.mine_task_graph)
     from ..stages.mining import mine_task_graph
 
-    tasks = mine_task_graph(instances, ctx, cfg, origin)
+    tasks = mine_task_graph(
+        instances, ctx, cfg, origin, n_codes=int(sum(counts.values()))
+    )
     tables = [t for t in ray.get(tasks) if t.num_rows]
     out = (
         pa.concat_tables(tables).combine_chunks()

@@ -170,6 +170,16 @@ def neardup_components(pairs: Dataset, n_buckets: int = 64,
         labels = new_labels.select_columns(["node", "label"]).materialize()
         if n_changed == 0:
             break
+    else:
+        # a component with diameter > max_rounds would exit with nodes
+        # still carrying non-root labels and be silently split; rounds
+        # over the (small) dup graph are cheap, so this is a hard error
+        # rather than a warning (raise beats wrong dedup verdicts)
+        raise RuntimeError(
+            f"near-dup component propagation did not converge within "
+            f"{max_rounds} rounds ({n_changed} labels still changing); "
+            f"raise max_rounds (component diameter exceeds it)"
+        )
     return labels.map_batches(
         lambda df: df.rename(columns={"label": "root"}), batch_format="pandas"
     )

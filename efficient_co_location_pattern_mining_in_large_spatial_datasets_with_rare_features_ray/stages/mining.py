@@ -34,14 +34,13 @@ PATTERN_SCHEMA = pa.schema(
 )
 
 
-def _mine_group(
-    batch: pa.Table, ctx: FeatureContext, min_prev: float, measure: str,
-    root: str | None = None,
-) -> pa.Table:
+def _group_csr(batch: pa.Table, ctx: FeatureContext, root: str):
+    """Star rows of ONE subtree -> (StarCSR index, sorted distinct
+    root-feature center codes). Factored so the branch-split path builds
+    the index exactly once per subtree (prep task) and shares it with
+    every branch miner through the object store."""
     from ..mining_core import StarCSR
 
-    if root is None:
-        root = ctx.order[int(batch["subtree"][0].as_py())]
     center_ids = batch["center_id"].to_numpy(zero_copy_only=False)
     nbr_col = batch["nbr_ids"].combine_chunks()
     if isinstance(nbr_col, pa.ChunkedArray):  # single chunk after combine
@@ -70,12 +69,10 @@ def _mine_group(
     root_centers = np.unique(center_ids[center_feats == root_rank]).astype(
         np.int32
     )
-    t1 = {root: root_centers}
+    return index, root_centers
 
-    recs = mine_local(
-        index, t1, ctx, min_prev, roots=[root], use_lemma3=False,
-        measure=measure,
-    )
+
+def _records_table(recs: list[dict], root: str) -> pa.Table:
     if not recs:
         return PATTERN_SCHEMA.empty_table()
     return pa.Table.from_arrays(
@@ -90,6 +87,20 @@ def _mine_group(
         ],
         schema=PATTERN_SCHEMA,
     )
+
+
+def _mine_group(
+    batch: pa.Table, ctx: FeatureContext, min_prev: float, measure: str,
+    root: str | None = None,
+) -> pa.Table:
+    if root is None:
+        root = ctx.order[int(batch["subtree"][0].as_py())]
+    index, root_centers = _group_csr(batch, ctx, root)
+    recs = mine_local(
+        index, {root: root_centers}, ctx, min_prev, roots=[root],
+        use_lemma3=False, measure=measure,
+    )
+    return _records_table(recs, root)
 
 
 @ray.remote
@@ -140,6 +151,29 @@ def _mine_subtree_task(
 
 
 @ray.remote
+def _mine_branch_task(
+    ctx: FeatureContext, min_prev: float, measure: str, root: str,
+    second: str, state,
+) -> pa.Table:
+    """Branch-split phase 2: mine the (root, second) branch (k >= 3)
+    against the shared subtree index. Scheduled for EVERY candidate
+    second feature before k=2 prevalence is known (keeps the task graph
+    static -- no driver round-trip); non-prevalent branches return
+    immediately."""
+    from ..mining_core import mine_branch
+
+    if state is None:
+        return PATTERN_SCHEMA.empty_table()
+    index, root_centers, seconds = state
+    if second not in seconds:
+        return PATTERN_SCHEMA.empty_table()
+    recs = mine_branch(
+        index, root_centers, ctx, min_prev, root, second, seconds, measure
+    )
+    return _records_table(recs, root)
+
+
+@ray.remote
 def _pairs_to_edge_slices(rank: dict, n_buckets: int, d: float, *inst_slices):
     """One pair-exchange bucket: instance slices -> qualifying pairs ->
     directed keyed edges, pre-sliced by STAR bucket (num_returns) so the
@@ -167,6 +201,115 @@ def _pairs_to_edge_slices(rank: dict, n_buckets: int, d: float, *inst_slices):
         for i in range(n_buckets)
     ]
     return tuple(outs) if n_buckets > 1 else outs[0]
+
+
+@ray.remote
+def _build_key_slices(n_feats: int, n_codes: int, *edge_slices):
+    """One star bucket in the COMPACT key format: edge slices ->
+    (grp, key) rows (stars.edge_key_segments), pre-sliced by subtree
+    (num_returns) for the prep tasks. Plasma write happens exactly once
+    and every downstream read is two flat int columns."""
+    from .stars import edge_key_segments
+
+    parts = [s for s in edge_slices if s is not None and s.num_rows]
+    if not parts:
+        return tuple([None] * n_feats) if n_feats > 1 else None
+    t = edge_key_segments(
+        pa.concat_tables(parts).combine_chunks(), n_feats, n_codes
+    )
+    if t.num_rows == 0:
+        return tuple([None] * n_feats) if n_feats > 1 else None
+    grp = t["grp"].to_numpy(zero_copy_only=False)
+    bounds = np.searchsorted(grp, np.arange(n_feats + 1) * (n_feats + 1))
+    outs = [
+        t.slice(int(bounds[i]), int(n))
+        if (n := bounds[i + 1] - bounds[i]) else None
+        for i in range(n_feats)
+    ]
+    return tuple(outs) if n_feats > 1 else outs[0]
+
+
+def _csr_from_key_slices(
+    parts: list[pa.Table], ctx: FeatureContext, root: str, n_codes: int
+):
+    """Per-subtree (grp, key) slices -> (StarCSR, root centers).
+
+    Each slice arrives sorted by grp; one pass counts per-feature
+    segment sizes, one scatter concatenates each feature's keys into its
+    destination range, and one in-place sort per feature finishes the
+    CSR (cen/offsets derive from the sorted packed keys by division).
+    Replaces the row-format lexsort + range-gather build whose random
+    access was ~6x inflated under 16-way DRAM contention."""
+    from ..mining_core import StarCSR
+
+    nf = len(ctx.order)
+    w = nf + 1
+    base = ctx.rank[root] * w
+    # per-slice segment bounds for the w local groups (nbr features + T1)
+    seg_bounds = []
+    sizes = np.zeros(w, np.int64)
+    for t in parts:
+        grp = t["grp"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(grp, np.arange(base, base + w + 1))
+        seg_bounds.append(b)
+        sizes += b[1:] - b[:-1]
+    offs_dst = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(offs_dst[-1])
+    merged = np.empty(total, np.int64)
+    cursor = offs_dst[:-1].copy()
+    for t, b in zip(parts, seg_bounds):
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        for g in range(w):
+            n = int(b[g + 1] - b[g])
+            if n:
+                merged[cursor[g]: cursor[g] + n] = keys[b[g]: b[g + 1]]
+                cursor[g] += n
+    by_feat: dict = {}
+    for g in range(nf):
+        seg = merged[offs_dst[g]: offs_dst[g + 1]]
+        if not len(seg):
+            continue
+        seg.sort()
+        cen_all = seg // n_codes
+        if len(cen_all) > 1:
+            starts = np.concatenate(
+                [[0], np.flatnonzero(cen_all[1:] != cen_all[:-1]) + 1]
+            )
+        else:
+            starts = np.zeros(1, np.int64)
+        by_feat[ctx.order[g]] = (
+            cen_all[starts],
+            np.append(starts, len(seg)).astype(np.int64),
+            seg,
+        )
+    # T1 entries are disjoint across bucket slices (centers are
+    # hash-partitioned), so concatenation alone is already distinct;
+    # sort anyway: expansion row order follows T1 order, and sorted
+    # centers keep every downstream CSR probe sequential (measured ~2x
+    # on the branch miners vs hash-interleaved order)
+    t1 = merged[offs_dst[nf]: offs_dst[nf + 1]]
+    t1.sort()
+    return StarCSR(by_feat, n_codes), t1.astype(np.int32)
+
+
+@ray.remote(num_returns=2)
+def _prep_key_subtree_task(
+    ctx: FeatureContext, min_prev: float, measure: str, root: str,
+    n_codes: int, *slices,
+):
+    """Branch-split phase 1 over the compact key format."""
+    from ..mining_core import mine_k2
+
+    parts = [s for s in slices if s is not None and s.num_rows]
+    if not parts:
+        return None, PATTERN_SCHEMA.empty_table()
+    index, root_centers = _csr_from_key_slices(parts, ctx, root, n_codes)
+    if not len(root_centers):
+        return None, PATTERN_SCHEMA.empty_table()
+    recs2, seconds = mine_k2(index, root_centers, ctx, min_prev, root, measure)
+    if not seconds:
+        return None, _records_table(recs2, root)
+    return (index, root_centers, seconds), _records_table(recs2, root)
 
 
 @ray.remote
@@ -198,6 +341,7 @@ def mine_task_graph(
     ctx: FeatureContext,
     cfg: MiningConfig,
     origin: tuple[float, float],
+    n_codes: int | None = None,
 ) -> list:
     """The flagship mining path as ONE barrier-free task graph:
 
@@ -256,22 +400,50 @@ def mine_task_graph(
         edge_grids = [[g] for g in edge_grids]
     feats = list(ctx.order)
     nf = len(feats)
+    builder = _build_key_slices if cfg.branch_split else _build_star_slices
+    if n_codes is None:  # instance codes are positional -> count = max+1
+        n_codes = int(sum(ctx.counts.values()))
+    extra = (n_codes,) if cfg.branch_split else ()
     star_grids = [
-        _build_star_slices.options(num_returns=nf).remote(
-            nf, *[edge_grids[p][s] for p in range(nb)]
+        builder.options(num_returns=nf).remote(
+            nf, *extra, *[edge_grids[p][s] for p in range(nb)]
         )
         for s in range(nb)
     ]
     if nf == 1:
         star_grids = [[g] for g in star_grids]
     ctx_ref = _ray.put(ctx)
-    return [
-        _mine_subtree_task.remote(
-            ctx_ref, cfg.min_prevalence, cfg.measure, f,
-            *[star_grids[s][fi] for s in range(nb)],
-        )
-        for fi, f in enumerate(feats)
-    ]
+    tasks = []
+    for fi, f in enumerate(feats):
+        slices = [star_grids[s][fi] for s in range(nb)]
+        seconds = feats[fi + 1 :]
+        if cfg.branch_split and not seconds:
+            # last-ranked feature roots no pattern (k=2 needs a
+            # larger-rank partner); its subtree is empty by construction
+            continue
+        if cfg.branch_split:
+            # two-phase branch split: without it the rarest feature's
+            # subtree is ONE task bounding the whole job's tail (measured
+            # ~20 s of a ~40 s 16-cpu run on the 1.6M fixture); with it
+            # the deepest subtrees fan out across n_features-rank branch
+            # tasks that all read the prep task's shared index
+            state, k2 = _prep_key_subtree_task.options(num_returns=2).remote(
+                ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes, *slices
+            )
+            tasks.append(k2)
+            tasks.extend(
+                _mine_branch_task.remote(
+                    ctx_ref, cfg.min_prevalence, cfg.measure, f, g, state
+                )
+                for g in seconds
+            )
+        else:
+            tasks.append(
+                _mine_subtree_task.remote(
+                    ctx_ref, cfg.min_prevalence, cfg.measure, f, *slices
+                )
+            )
+    return tasks
 
 
 def mine_subtrees(
