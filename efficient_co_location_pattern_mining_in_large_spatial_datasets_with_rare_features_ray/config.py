@@ -23,7 +23,11 @@ class MiningConfig:
 
     # Grid / shuffle knobs (ours)
     tile_cells: int = 32        # cells per tile side; halo overhead ~ 2/tile_cells
-    star_buckets: int = 128     # hash buckets for the star-build shuffle
+    # hash buckets for the pair/star exchanges: enough for 4 waves at 16
+    # workers; 128 measured ~20% slower at 16 cpus (4x the inter-stage
+    # slice objects -> arg-resolution latency between waves) and 32
+    # measured worse (bucket skew stragglers)
+    star_buckets: int = 64
     mining_concurrency: int | None = None  # cap on concurrent subtree groups
     # split each subtree's k>=3 level loop into one task per prevalent
     # second feature (exact decomposition; breaks the rarest-subtree

@@ -30,7 +30,7 @@ from ray.data import Dataset
 from ..canonical import FeatureContext
 from ..config import MiningConfig
 from ..stages.grid import global_origin
-from ..stages.mining import PATTERN_SCHEMA, mine_subtrees
+from ..stages.mining import PATTERN_SCHEMA
 from ..stages.pairs import neighbor_pairs
 from ..stages.stars import build_stars
 
@@ -144,7 +144,13 @@ def mine(
     tasks = mine_task_graph(
         instances, ctx, cfg, origin, n_codes=int(sum(counts.values()))
     )
-    tables = [t for t in ray.get(tasks) if t.num_rows]
+    # branch-split preps return LISTS of nested branch-task refs
+    # alongside plain pattern tables; flatten one level
+    results = ray.get(tasks)
+    nested = [r for res in results if isinstance(res, list) for r in res]
+    tables = [t for t in results if not isinstance(t, list)]
+    tables += ray.get(nested)
+    tables = [t for t in tables if t.num_rows]
     out = (
         pa.concat_tables(tables).combine_chunks()
         if tables else PATTERN_SCHEMA.empty_table()

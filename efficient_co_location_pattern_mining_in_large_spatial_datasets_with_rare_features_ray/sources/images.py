@@ -70,6 +70,13 @@ def build_image_table(
     return pa.table(rows, schema=IMAGE_SCHEMA)
 
 
+def _write_image_shard(out_dir, s, lo, hi, img_size, ids, feats, xs, ys):
+    t = build_image_table(
+        ids[lo:hi], feats[lo:hi], xs[lo:hi], ys[lo:hi], img_size=img_size
+    )
+    pq.write_table(t, os.path.join(out_dir, f"part-{s:04d}.parquet"))
+
+
 def write_image_fixture(
     out_dir: str,
     n: int = 5000,
@@ -106,13 +113,28 @@ def write_image_fixture(
     order = rng.permutation(len(ids))
     ids, feats, xs, ys = ids[order], feats[order], xs[order], ys[order]
     per = (len(ids) + shards - 1) // shards
-    for s in range(shards):
-        lo, hi = s * per, min((s + 1) * per, len(ids))
-        if lo >= hi:
-            break
-        t = build_image_table(ids[lo:hi], feats[lo:hi], xs[lo:hi], ys[lo:hi],
-                              img_size=img_size)
-        pq.write_table(t, os.path.join(out_dir, f"part-{s:04d}.parquet"))
+    bounds = [
+        (s, s * per, min((s + 1) * per, len(ids)))
+        for s in range(shards)
+        if s * per < len(ids)
+    ]
+
+    # the per-row codec loop is the cost (minutes at 10^6+ rows); shard
+    # generation is embarrassingly parallel and deterministic per shard,
+    # so fan out over Ray when a session is up (bench always has one).
+    # Arrays go through the object store ONCE; tasks slice by bounds.
+    import ray as _ray
+
+    if len(ids) > 200_000 and _ray.is_initialized():
+        shard_task = _ray.remote(_write_image_shard)
+        refs = [_ray.put(a) for a in (ids, feats, xs, ys)]
+        _ray.get([
+            shard_task.remote(out_dir, s, lo, hi, img_size, *refs)
+            for s, lo, hi in bounds
+        ])
+    else:
+        for s, lo, hi in bounds:
+            _write_image_shard(out_dir, s, lo, hi, img_size, ids, feats, xs, ys)
     with open(marker, "w") as f:
         f.write(str(n))
     return out_dir

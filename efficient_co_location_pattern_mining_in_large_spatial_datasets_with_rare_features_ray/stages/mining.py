@@ -21,6 +21,25 @@ from ..canonical import FeatureContext
 from ..config import MiningConfig
 from ..mining_core import mine_local
 
+def _task_timing(name: str):
+    """Env-gated per-task span logging (CLPM_TASK_TIMING=1): returns a
+    finish callback printing one parseable line. The dashboard/state API
+    is unavailable on minimal Ray builds, so wall-clock attribution of
+    the mining graph's stages comes from these lines (used for the
+    per-stage evidence in BASELINE.md)."""
+    import os
+    import time
+
+    if not os.environ.get("CLPM_TASK_TIMING"):
+        return lambda: None
+    t0 = time.time()
+
+    def done():
+        print(f"TASKSPAN {name} {t0:.3f} {time.time():.3f}")
+
+    return done
+
+
 PATTERN_SCHEMA = pa.schema(
     [
         ("pattern", pa.string()),       # comma-joined canonical feature list
@@ -156,20 +175,16 @@ def _mine_branch_task(
     second: str, state,
 ) -> pa.Table:
     """Branch-split phase 2: mine the (root, second) branch (k >= 3)
-    against the shared subtree index. Scheduled for EVERY candidate
-    second feature before k=2 prevalence is known (keeps the task graph
-    static -- no driver round-trip); non-prevalent branches return
-    immediately."""
+    against the shared subtree index (spawned by the prep task, one per
+    prevalent second feature)."""
     from ..mining_core import mine_branch
 
-    if state is None:
-        return PATTERN_SCHEMA.empty_table()
+    _done = _task_timing(f"branch:{root}:{second}")
     index, root_centers, seconds = state
-    if second not in seconds:
-        return PATTERN_SCHEMA.empty_table()
     recs = mine_branch(
         index, root_centers, ctx, min_prev, root, second, seconds, measure
     )
+    _done()
     return _records_table(recs, root)
 
 
@@ -182,6 +197,7 @@ def _pairs_to_edge_slices(rank: dict, n_buckets: int, d: float, *inst_slices):
     from .pairs import _pair_kernel
     from .stars import edge_table
 
+    _done = _task_timing("pairs")
     none_row = tuple([None] * n_buckets) if n_buckets > 1 else None
     parts = [s for s in inst_slices if s is not None and s.num_rows]
     if not parts:
@@ -200,6 +216,7 @@ def _pairs_to_edge_slices(rank: dict, n_buckets: int, d: float, *inst_slices):
         if (n := bounds[i + 1] - bounds[i]) else None
         for i in range(n_buckets)
     ]
+    _done()
     return tuple(outs) if n_buckets > 1 else outs[0]
 
 
@@ -211,6 +228,7 @@ def _build_key_slices(n_feats: int, n_codes: int, *edge_slices):
     and every downstream read is two flat int columns."""
     from .stars import edge_key_segments
 
+    _done = _task_timing("stars")
     parts = [s for s in edge_slices if s is not None and s.num_rows]
     if not parts:
         return tuple([None] * n_feats) if n_feats > 1 else None
@@ -226,6 +244,7 @@ def _build_key_slices(n_feats: int, n_codes: int, *edge_slices):
         if (n := bounds[i + 1] - bounds[i]) else None
         for i in range(n_feats)
     ]
+    _done()
     return tuple(outs) if n_feats > 1 else outs[0]
 
 
@@ -297,19 +316,38 @@ def _prep_key_subtree_task(
     ctx: FeatureContext, min_prev: float, measure: str, root: str,
     n_codes: int, *slices,
 ):
-    """Branch-split phase 1 over the compact key format."""
+    """Branch-split phase 1 over the compact key format: build the CSR
+    index once, run the exact k=2 level, then SUBMIT the branch tasks
+    from here -- one per PREVALENT second feature -- and return their
+    refs (num_returns=2: (branch_refs, k2_table)).
+
+    Nested submission, not driver-side: scheduled from the driver, the
+    branch flood of early subtrees starved later preps of worker slots
+    (measured: 39 preps holding 9 s of work spread over 12 s because
+    ready branches jumped the queue), and the driver had to schedule a
+    no-op branch task for every NON-prevalent second since prevalence is
+    only known here. The shared index is put once; branch miners read it
+    zero-copy from the object store."""
     from ..mining_core import mine_k2
 
+    _done = _task_timing(f"prep:{root}")
     parts = [s for s in slices if s is not None and s.num_rows]
     if not parts:
-        return None, PATTERN_SCHEMA.empty_table()
+        _done()
+        return [], PATTERN_SCHEMA.empty_table()
     index, root_centers = _csr_from_key_slices(parts, ctx, root, n_codes)
     if not len(root_centers):
-        return None, PATTERN_SCHEMA.empty_table()
+        return [], PATTERN_SCHEMA.empty_table()
     recs2, seconds = mine_k2(index, root_centers, ctx, min_prev, root, measure)
     if not seconds:
-        return None, _records_table(recs2, root)
-    return (index, root_centers, seconds), _records_table(recs2, root)
+        return [], _records_table(recs2, root)
+    state_ref = ray.put((index, root_centers, seconds))
+    branches = [
+        _mine_branch_task.remote(ctx, min_prev, measure, root, g, state_ref)
+        for g in seconds
+    ]
+    _done()
+    return branches, _records_table(recs2, root)
 
 
 @ray.remote
@@ -414,35 +452,31 @@ def mine_task_graph(
         star_grids = [[g] for g in star_grids]
     ctx_ref = _ray.put(ctx)
     tasks = []
-    for fi, f in enumerate(feats):
-        slices = [star_grids[s][fi] for s in range(nb)]
-        seconds = feats[fi + 1 :]
-        if cfg.branch_split and not seconds:
-            # last-ranked feature roots no pattern (k=2 needs a
-            # larger-rank partner); its subtree is empty by construction
-            continue
-        if cfg.branch_split:
-            # two-phase branch split: without it the rarest feature's
-            # subtree is ONE task bounding the whole job's tail (measured
-            # ~20 s of a ~40 s 16-cpu run on the 1.6M fixture); with it
-            # the deepest subtrees fan out across n_features-rank branch
-            # tasks that all read the prep task's shared index
-            state, k2 = _prep_key_subtree_task.options(num_returns=2).remote(
+    if cfg.branch_split:
+        # two-phase branch split: without it the rarest feature's
+        # subtree is ONE task bounding the whole job's tail (measured
+        # ~20 s of a ~40 s 16-cpu run on the 1.6M fixture). Each prep
+        # returns (branch_refs, k2_table) -- see _prep_key_subtree_task
+        # for why branches are spawned from inside the prep. The
+        # last-ranked feature roots no pattern (k=2 needs a larger-rank
+        # partner); skipped.
+        for fi, f in enumerate(feats[:-1]):
+            slices = [star_grids[s][fi] for s in range(nb)]
+            branches, k2 = _prep_key_subtree_task.options(
+                num_returns=2
+            ).remote(
                 ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes, *slices
             )
+            tasks.append(branches)
             tasks.append(k2)
-            tasks.extend(
-                _mine_branch_task.remote(
-                    ctx_ref, cfg.min_prevalence, cfg.measure, f, g, state
-                )
-                for g in seconds
+        return tasks
+    for fi, f in enumerate(feats):
+        slices = [star_grids[s][fi] for s in range(nb)]
+        tasks.append(
+            _mine_subtree_task.remote(
+                ctx_ref, cfg.min_prevalence, cfg.measure, f, *slices
             )
-        else:
-            tasks.append(
-                _mine_subtree_task.remote(
-                    ctx_ref, cfg.min_prevalence, cfg.measure, f, *slices
-                )
-            )
+        )
     return tasks
 
 

@@ -103,3 +103,20 @@ def test_pi_measure_mode(ray_session):
     run = mine(ds, MiningConfig(neighbor_distance=5.0, min_prevalence=0.9, measure="pi"))
     assert run.pattern_set() == pattern_set(o_pi)
     assert pattern_set(o_wpi) != pattern_set(o_pi)
+
+
+def test_branch_split_off_equality(ray_session):
+    """branch_split=False falls back to one task per subtree (row-format
+    stars); both decompositions must produce identical tables."""
+    ids, feats, x, y = clustered_instances(800, seed=7)
+    ds = from_numpy(ids, feats, x, y, parallelism=4)
+    on = mine(ds, MiningConfig(neighbor_distance=10.0, min_prevalence=0.25))
+    ds2 = from_numpy(ids, feats, x, y, parallelism=4)
+    off = mine(
+        ds2,
+        MiningConfig(
+            neighbor_distance=10.0, min_prevalence=0.25, branch_split=False
+        ),
+    )
+    assert on.patterns_table().equals(off.patterns_table())
+    assert on.patterns_table().num_rows > 0
