@@ -29,16 +29,19 @@ def global_origin(ds: Dataset) -> tuple[float, float]:
     return float(agg["min(x)"]), float(agg["min(y)"])
 
 
+def cell_columns(t: pa.Table, d: float, origin: tuple[float, float]) -> pa.Table:
+    """Append int64 ``cell_x, cell_y`` columns to one table."""
+    ox, oy = origin
+    cx = pc.floor(pc.divide(pc.subtract(t["x"], ox), d)).cast(pa.int64())
+    cy = pc.floor(pc.divide(pc.subtract(t["y"], oy), d)).cast(pa.int64())
+    return t.append_column("cell_x", cx).append_column("cell_y", cy)
+
+
 def assign_cells(ds: Dataset, d: float, origin: tuple[float, float]) -> Dataset:
     """Append int64 ``cell_x, cell_y`` columns (vectorized Arrow)."""
-    ox, oy = origin
-
-    def fn(t: pa.Table) -> pa.Table:
-        cx = pc.floor(pc.divide(pc.subtract(t["x"], ox), d)).cast(pa.int64())
-        cy = pc.floor(pc.divide(pc.subtract(t["y"], oy), d)).cast(pa.int64())
-        return t.append_column("cell_x", cx).append_column("cell_y", cy)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: cell_columns(t, d, origin), batch_format="pyarrow"
+    )
 
 
 def tile_id(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
@@ -53,6 +56,13 @@ def replicate_to_tiles(ds: Dataset, tile_cells: int) -> Dataset:
     cell q is halo for the tiles left of / below its own when q is on the
     tile's low-x or low-y cell boundary). Adds ``tile`` (int64) and
     ``home`` (bool)."""
+    return ds.map_batches(
+        lambda t: replicate_table(t, tile_cells), batch_format="pyarrow"
+    )
+
+
+def replicate_table(t: pa.Table, tile_cells: int) -> pa.Table:
+    """Halo replication for one table (see replicate_to_tiles)."""
     T = int(tile_cells)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -83,4 +93,4 @@ def replicate_to_tiles(ds: Dataset, tile_cells: int) -> Dataset:
         out = out.append_column("home", pa.array(np.concatenate(homes)))
         return out
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return fn(t)

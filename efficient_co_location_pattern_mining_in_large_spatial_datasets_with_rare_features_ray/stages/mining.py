@@ -189,6 +189,37 @@ def _mine_branch_task(
 
 
 @ray.remote
+def _inst_block_slices(
+    t: pa.Table, d: float, origin: tuple[float, float], tile_cells: int,
+    n_buckets: int,
+):
+    """One encoded instance block -> cell/tile/halo/bucket columns ->
+    per-bucket slices (num_returns). Fuses what used to be a separate
+    three-stage Dataset job into the task graph so the pair join starts
+    the moment each encode block exists."""
+    from .grid import cell_columns, replicate_table
+    from .stars import _stable_bucket
+
+    _done = _task_timing("inst")
+    t = cell_columns(t, d, origin)
+    t = replicate_table(t, tile_cells)
+    tiles = t["tile"].to_numpy(zero_copy_only=False)
+    codes = _stable_bucket(tiles, n_buckets)
+    order = np.argsort(codes, kind="stable")
+    t = t.append_column("bucket", pa.array(codes, pa.int64())).take(
+        pa.array(order)
+    )
+    bounds = np.searchsorted(codes[order], np.arange(n_buckets + 1))
+    outs = [
+        t.slice(int(bounds[i]), int(n))
+        if (n := bounds[i + 1] - bounds[i]) else None
+        for i in range(n_buckets)
+    ]
+    _done()
+    return tuple(outs) if n_buckets > 1 else outs[0]
+
+
+@ray.remote
 def _pairs_to_edge_slices(rank: dict, n_buckets: int, d: float, *inst_slices):
     """One pair-exchange bucket: instance slices -> qualifying pairs ->
     directed keyed edges, pre-sliced by STAR bucket (num_returns) so the
@@ -342,9 +373,13 @@ def _prep_key_subtree_task(
     if not seconds:
         return [], _records_table(recs2, root)
     state_ref = ray.put((index, root_centers, seconds))
+    # spawn largest branches first (k2 row count is a free size proxy)
+    # so the job tail packs with small tasks instead of ending on a
+    # late-started heavy branch
+    size_of = {r["pattern"][1]: r["n_rows"] for r in recs2}
     branches = [
         _mine_branch_task.remote(ctx, min_prev, measure, root, g, state_ref)
-        for g in seconds
+        for g in sorted(seconds, key=lambda g: -size_of.get(g, 0))
     ]
     _done()
     return branches, _records_table(recs2, root)
@@ -402,26 +437,18 @@ def mine_task_graph(
     table refs (PATTERN_SCHEMA)."""
     import ray as _ray
 
-    from .grid import assign_cells, replicate_to_tiles
-    from .exchange import _split_by_key
-    from .stars import _stable_bucket
-
     d = cfg.cell_size()
     nb = cfg.star_buckets
 
-    ds = assign_cells(instances, d, origin)
-    ds = replicate_to_tiles(ds, cfg.tile_cells)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        tiles = t["tile"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array(_stable_bucket(tiles, nb), pa.int64())
-        )
-
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    refs = ds.materialize().to_arrow_refs()
+    # cell assignment + tile/halo replication + bucket + slice happen in
+    # ONE task per encoded block (the encode blocks are already
+    # materialized): the former three map_batches + materialize Dataset
+    # job added a whole-pipeline barrier and ~1-2 s of fixed latency
+    refs = instances.materialize().to_arrow_refs()
     inst_grids = [
-        _split_by_key.options(num_returns=nb).remote(r, "bucket", nb)
+        _inst_block_slices.options(num_returns=nb).remote(
+            r, d, origin, cfg.tile_cells, nb
+        )
         for r in refs
     ]
     if nb == 1:
