@@ -276,9 +276,12 @@ def run_scaling() -> dict:
       speed drifts 2-3x with recent load (noisy-neighbor VM).
     """
     n_events = _events_count()
+    # salted/coordinated mode is ~10x slower per row (d=7 level barriers,
+    # exact distinct exchanges every level): 4x rows keeps its side of
+    # the protocol to minutes while still ~1 min per measured run
     plan = {
         "colo_mine_images": n_events * 16,
-        "colo_mine_images_salted": n_events * 16,
+        "colo_mine_images_salted": n_events * 4,
     }
 
     def one(ncpu: int, name: str, n_scale: int) -> float:

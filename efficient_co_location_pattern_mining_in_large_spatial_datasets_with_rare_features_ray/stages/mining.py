@@ -190,17 +190,24 @@ def _mine_branch_task(
 
 @ray.remote
 def _inst_block_slices(
-    t: pa.Table, d: float, origin: tuple[float, float], tile_cells: int,
-    n_buckets: int,
+    d: float, origin: tuple[float, float], tile_cells: int,
+    n_buckets: int, *blocks,
 ):
-    """One encoded instance block -> cell/tile/halo/bucket columns ->
-    per-bucket slices (num_returns). Fuses what used to be a separate
-    three-stage Dataset job into the task graph so the pair join starts
-    the moment each encode block exists."""
+    """A group of encoded instance blocks -> cell/tile/halo/bucket
+    columns -> per-bucket slices (num_returns). Fuses what used to be a
+    separate three-stage Dataset job into the task graph so the pair
+    join starts the moment the encode blocks exist; the driver groups
+    small source blocks so the downstream pair tasks resolve tens of
+    slice objects, not hundreds (224 blocks x 64 returns measured as
+    ~1 s of arg-resolution latency per exchange wave)."""
     from .grid import cell_columns, replicate_table
     from .stars import _stable_bucket
 
     _done = _task_timing("inst")
+    t = (
+        blocks[0] if len(blocks) == 1
+        else pa.concat_tables(blocks).combine_chunks()
+    )
     t = cell_columns(t, d, origin)
     t = replicate_table(t, tile_cells)
     tiles = t["tile"].to_numpy(zero_copy_only=False)
@@ -441,15 +448,22 @@ def mine_task_graph(
     nb = cfg.star_buckets
 
     # cell assignment + tile/halo replication + bucket + slice happen in
-    # ONE task per encoded block (the encode blocks are already
+    # ONE task per encoded block GROUP (the encode blocks are already
     # materialized): the former three map_batches + materialize Dataset
-    # job added a whole-pipeline barrier and ~1-2 s of fixed latency
+    # job added a whole-pipeline barrier and ~1-2 s of fixed latency.
+    # Blocks group to ~2 tasks per cpu so each pair task resolves a
+    # bounded number of slice objects.
     refs = instances.materialize().to_arrow_refs()
+    n_groups = max(1, min(
+        len(refs), 2 * int(_ray.cluster_resources().get("CPU", 8))
+    ))
+    per = (len(refs) + n_groups - 1) // n_groups
+    groups = [refs[i: i + per] for i in range(0, len(refs), per)]
     inst_grids = [
         _inst_block_slices.options(num_returns=nb).remote(
-            r, d, origin, cfg.tile_cells, nb
+            d, origin, cfg.tile_cells, nb, *grp
         )
-        for r in refs
+        for grp in groups
     ]
     if nb == 1:
         inst_grids = [[g] for g in inst_grids]
