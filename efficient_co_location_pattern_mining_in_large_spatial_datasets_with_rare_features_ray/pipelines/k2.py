@@ -124,13 +124,18 @@ def k2_metrics(
             )
         return pd.concat(res, ignore_index=True)
 
-    # tiny result: <= n_buckets * (pairs + 2*pairs) rows of 3 ints
-    rows = (
-        pairs.map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .take_all()
-    )
+    # tiny result: <= n_buckets * (pairs + 2*pairs) rows of 3 ints.
+    # static split exchange, not groupby("bucket"): the sort shuffle's
+    # boundary sampling is pure overhead on a dense 64-value int key
+    from ..stages.exchange import static_group_exchange
+
+    partials = pairs.map_batches(partial, batch_format="pandas")
+    rows = static_group_exchange(
+        partials, "bucket", _N_BUCKETS,
+        lambda t: pa.Table.from_pandas(
+            per_bucket(t.to_pandas()), preserve_index=False
+        ),
+    ).take_all()
     n_rows: dict[int, int] = {}
     dist: dict[int, int] = {}
     for r in rows:
