@@ -123,40 +123,6 @@ def _mine_group(
 
 
 @ray.remote
-def _split_by_subtree(t, n_feats: int):
-    """One parallel pass per star block: slice into one sub-table per
-    feature rank (num_returns), so each subtree miner pulls only its own
-    slices. A static exchange over the KNOWN tiny key space -- Ray's
-    sort-based groupby samples range boundaries, and with only
-    n_features distinct keys the boundary skew made the shuffle itself
-    dominate the stage (measured 40-60 s of a 71 s stage at 14.5M star
-    rows)."""
-    import pandas as pd
-
-    if isinstance(t, pd.DataFrame):  # groupby stages emit pandas blocks
-        if t.empty or "subtree" not in t.columns:
-            empty = None
-            return tuple([empty] * n_feats) if n_feats > 1 else None
-        t = pa.Table.from_pandas(t, preserve_index=False)
-    if t.num_rows == 0 or "subtree" not in t.column_names:
-        return tuple([None] * n_feats) if n_feats > 1 else None
-    # subtree is an int16 canonical rank and the star builder emits rows
-    # already sorted by it -- slicing is zero-copy; the sort below only
-    # triggers for out-of-order producers
-    codes = t["subtree"].to_numpy(zero_copy_only=False)
-    if len(codes) > 1 and not np.all(codes[1:] >= codes[:-1]):
-        order = np.argsort(codes, kind="stable")
-        t = t.take(pa.array(order))
-        codes = codes[order]
-    bounds = np.searchsorted(codes, np.arange(n_feats + 1))
-    outs = []
-    for i in range(n_feats):
-        n = int(bounds[i + 1] - bounds[i])
-        outs.append(t.slice(int(bounds[i]), n) if n else None)
-    return tuple(outs) if n_feats > 1 else outs[0]
-
-
-@ray.remote
 def _mine_subtree_task(
     ctx: FeatureContext, min_prev: float, measure: str, root: str, *slices
 ) -> pa.Table:
@@ -521,53 +487,3 @@ def mine_task_graph(
     return tasks
 
 
-def mine_subtrees(
-    stars: Dataset, ctx: FeatureContext, cfg: MiningConfig
-) -> Dataset:
-    """stars -> prevalent-pattern table, mined independently per subtree
-    (one task per feature).
-
-    The exchange is a manual split (static hash over the known
-    n_features key space) instead of ``groupby("subtree")``: with only
-    n_features distinct keys, Ray's sort-based shuffle boundary sampling
-    degenerates (a handful of reduce ranges receive everything) and the
-    shuffle dominated the stage. Splitting each (already instance-
-    bucketed) star block into per-feature slices in parallel and letting
-    every subtree miner fetch only its own slices keeps the exchange
-    linear and skew-free; the feats list is global metadata.
-
-    Partitioning note (SURVEY.md sec. 7.4): the rarest feature's subtree
-    is the largest task; with many features the tasks balance, with few
-    features parallelism is bounded by the feature count -- the salted
-    mode (stages/sharded.py) is the skew-free alternative.
-    """
-    import ray as _ray
-
-    # canonical rank order: the split slices blocks sorted by the int16
-    # subtree rank, so slice i belongs to ctx.order[i]
-    # (a repartition-compaction before the split was measured SLOWER:
-    # the extra pass over the star table costs more than the
-    # n_blocks x n_features object fan-in it saves)
-    feats = list(ctx.order)
-    refs = stars.materialize().to_arrow_refs()
-    grids = [
-        _split_by_subtree.options(num_returns=len(feats)).remote(r, len(feats))
-        for r in refs
-    ]
-    if len(feats) == 1:  # num_returns=1 yields a bare ref
-        grids = [[g] for g in grids]
-    tasks = [
-        _mine_subtree_task.remote(
-            ctx, cfg.min_prevalence, cfg.measure, f,
-            *[grids[b][i] for b in range(len(grids))],
-        )
-        for i, f in enumerate(feats)
-    ]
-    tables = [t for t in _ray.get(tasks) if t.num_rows]
-    out = (
-        pa.concat_tables(tables).combine_chunks()
-        if tables else PATTERN_SCHEMA.empty_table()
-    )
-    import ray.data as rd
-
-    return rd.from_arrow(out)
