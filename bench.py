@@ -29,6 +29,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# allocator tuning is opt-in (memtune.py): the benchmark is the process
+# that wants it. Set before ray.init / package import so the local
+# cluster's workers inherit it.
+os.environ.setdefault("CLPM_MEMTUNE", "1")
+
 # flagship mining parameters for the image fixture (40 features,
 # constant-density clustered layout): dense enough for multi-level
 # patterns (max k ~ 6), bounded row-instance growth
@@ -324,8 +329,12 @@ def run_scaling() -> dict:
     _init_ray()
     image_fixture_dir(plan[name_s])
     _r.shutdown()
-    for ncpu in (4, 16):
-        secs[(ncpu, name_s)] = one(ncpu, name_s, plan[name_s])
+    # same interleaved best-of-reps protocol as the headline pair
+    for _ in range(reps):
+        for ncpu in (4, 16):
+            t = one(ncpu, name_s, plan[name_s])
+            key = (ncpu, name_s)
+            secs[key] = t if key not in secs else min(secs[key], t)
 
     eff_28 = (secs[(2, name)] / secs[(8, name)]) / 4
     eff_416 = (secs[(4, name)] / secs[(16, name)]) / 4
@@ -341,7 +350,9 @@ def run_scaling() -> dict:
         "rows_per_sec_8": round(n_scale / secs[(8, name)], 1),
         "rows_per_sec_4": round(n_scale / secs[(4, name)], 1),
         "rows_per_sec_16": round(n_scale / secs[(16, name)], 1),
-        "scaling_efficiency": round(eff_28, 3),
+        # headline key keeps its round-1/2 definition (the 4->16 pair);
+        # the 2->8 pair is reported under its own explicit key
+        "scaling_efficiency": round(eff_416, 3),
         "scaling_efficiency_2_8": round(eff_28, 3),
         "scaling_efficiency_4_16": round(eff_416, 3),
         "salted_rows": plan[name_s],

@@ -21,6 +21,10 @@ from . import memtune as _memtune
 from .config import MiningConfig
 from .canonical import FeatureContext
 
-_memtune.tune()  # once per process; see memtune.py (fault-expensive hosts)
+# Opt-in allocator tuning for fault-expensive hosts: no-op unless
+# CLPM_MEMTUNE is set in the env (bench.py sets it). Invoked at import
+# because Ray worker processes import this package when deserializing
+# task functions -- the one hook that reaches every worker. See memtune.py.
+_memtune.tune()
 
 __all__ = ["MiningConfig", "FeatureContext"]

@@ -23,11 +23,12 @@ class MiningConfig:
 
     # Grid / shuffle knobs (ours)
     tile_cells: int = 32        # cells per tile side; halo overhead ~ 2/tile_cells
-    # hash buckets for the pair/star exchanges: enough for 4 waves at 16
-    # workers; 128 measured ~20% slower at 16 cpus (4x the inter-stage
-    # slice objects -> arg-resolution latency between waves) and 32
-    # measured worse (bucket skew stragglers)
-    star_buckets: int = 64
+    # hash buckets for the pair/star exchanges. None (default) adapts to
+    # the cluster: ~4 buckets per cpu, clamped to [16, 64] -- measured at
+    # 16 cpus: 64 best, 128 ~20% slower (4x the inter-stage slice objects
+    # -> arg-resolution latency between waves), 32 worse (bucket skew
+    # stragglers); a fixed 64 at 4 cpus is 16 waves of arg resolution.
+    star_buckets: int | None = None
     mining_concurrency: int | None = None  # cap on concurrent subtree groups
     # split each subtree's k>=3 level loop into one task per prevalent
     # second feature (exact decomposition; breaks the rarest-subtree
@@ -52,6 +53,23 @@ class MiningConfig:
 
     def cell_size(self) -> float:
         return float(self.neighbor_distance)
+
+    def resolved_star_buckets(self) -> int:
+        """Bucket count for the pair/star exchanges: the configured value,
+        or ~4 per cluster cpu clamped to [16, 64] (see field comment)."""
+        if self.star_buckets is not None:
+            return int(self.star_buckets)
+        try:
+            import ray
+
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+        except Exception:
+            cpus = 8
+        return min(64, max(16, 4 * cpus))
 
 
 def load_config_file(path: str) -> MiningConfig:

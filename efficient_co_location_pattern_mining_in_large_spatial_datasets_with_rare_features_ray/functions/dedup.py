@@ -97,6 +97,186 @@ def band_hashes(sig: np.ndarray, bands: int = MINHASH_BANDS) -> np.ndarray:
     return out
 
 
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(c) for c in counts]) without a Python loop."""
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    if not total:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    return out - np.repeat(ends - counts, counts)
+
+
+def hashed_shingles_batch(
+    texts, k: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched ``hashed_shingles``: per-doc sorted distinct md5-mod-p
+    shingle values for a whole batch at once. Returns ``(vals, offsets)``
+    with doc i's values at ``vals[offsets[i]:offsets[i+1]]`` --
+    value-identical to ``np.sort(hashed_shingles(texts[i], k))``.
+
+    This removes the round-3 hot path (one Python hashlib call per
+    (doc, shingle) INCIDENCE): char windows are extracted as numpy
+    strides over the utf-32 codepoints, deduped across the batch, md5'd
+    once per DISTINCT shingle, and gathered back. SQL-oracle parity is
+    untouched because the per-shingle hash value is bit-identical."""
+    n = len(texts)
+    lows = [str(t).lower() for t in texts]
+    doc_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
+
+    long_ids = [i for i, s in enumerate(lows) if len(s) >= k]
+    if long_ids:
+        lens = np.asarray([len(lows[i]) for i in long_ids], np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        big = np.frombuffer(
+            "".join(lows[i] for i in long_ids).encode("utf-32-le"),
+            np.uint32,
+        )
+        wc = lens - k + 1
+        starts = np.repeat(offs[:-1], wc) + _concat_aranges(wc)
+        win = np.lib.stride_tricks.sliding_window_view(big, k)[starts]
+        voids = (
+            np.ascontiguousarray(win).view(np.dtype((np.void, 4 * k))).ravel()
+        )
+        uniq, inv = np.unique(voids, return_inverse=True)
+        uh = np.fromiter(
+            (
+                md5_64(v.tobytes().decode("utf-32-le")) % _MERSENNE
+                for v in uniq
+            ),
+            np.uint64,
+            len(uniq),
+        )
+        doc_parts.append(np.repeat(np.asarray(long_ids, np.int64), wc))
+        val_parts.append(uh[inv])
+    shorts = [(i, lows[i]) for i in range(n) if 0 < len(lows[i]) < k]
+    if shorts:
+        sv: dict[str, int] = {}
+        for _, s in shorts:
+            if s not in sv:
+                sv[s] = md5_64(s) % _MERSENNE
+        doc_parts.append(np.asarray([i for i, _ in shorts], np.int64))
+        val_parts.append(np.asarray([sv[s] for _, s in shorts], np.uint64))
+    offsets = np.zeros(n + 1, np.int64)
+    if not doc_parts:
+        return np.empty(0, np.uint64), offsets
+    docs = np.concatenate(doc_parts)
+    vals = np.concatenate(val_parts)
+    order = np.lexsort((vals, docs))
+    docs, vals = docs[order], vals[order]
+    # per-doc value dedupe (set semantics; also collapses rare mod-p ties)
+    keep = np.ones(len(docs), bool)
+    keep[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
+    docs, vals = docs[keep], vals[keep]
+    offsets[1:] = np.cumsum(np.bincount(docs, minlength=n))
+    return vals, offsets
+
+
+def minhash_signatures_batch(texts, k: int = 5) -> np.ndarray:
+    """(n_docs, MINHASH_PERMS) int64 -- value-identical to
+    ``minhash_signature(text)`` per row. The permutation values are
+    computed once per DISTINCT shingle hash in the batch, then
+    min-reduced per doc with one chunked ``minimum.reduceat`` (no
+    per-doc Python, no per-incidence hashing)."""
+    n = len(texts)
+    vals, offsets = hashed_shingles_batch(texts, k)
+    out = np.full((n, MINHASH_PERMS), np.iinfo(np.int64).max, np.int64)
+    if not len(vals):
+        return out
+    dv = np.unique(vals)
+    nd = len(dv)
+    hv = mulmod_mersenne61(
+        np.repeat(_A.astype(np.uint64), nd), np.tile(dv, MINHASH_PERMS)
+    ).reshape(MINHASH_PERMS, nd)
+    hv = (hv + _B.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+    codes = np.searchsorted(dv, vals)
+    counts = np.diff(offsets)
+    nz = np.flatnonzero(counts)  # docs with >= 1 shingle
+    csum = np.concatenate([[0], np.cumsum(counts[nz])])
+    CHUNK = 65536  # incidences per gather: PERMS x CHUNK x 8B = 64 MB
+    i = 0
+    while i < len(nz):
+        j = i + 1
+        while j < len(nz) and csum[j + 1] - csum[i] <= CHUNK:
+            j += 1
+        sel = nz[i:j]
+        lo, hi = int(offsets[sel[0]]), int(offsets[sel[-1] + 1])
+        g = hv[:, codes[lo:hi]]
+        starts = (offsets[sel] - lo).astype(np.int64)
+        out[sel] = (
+            np.minimum.reduceat(g, starts, axis=1).T.astype(np.int64)
+        )
+        i = j
+    return out
+
+
+def band_hashes_batch(
+    sigs: np.ndarray, bands: int = MINHASH_BANDS
+) -> np.ndarray:
+    """(n_docs, bands) int64 -- vectorized Horner fold over each band's
+    rows, identical to ``band_hashes(sig)`` per row."""
+    n, perms = sigs.shape
+    rows = perms // bands
+    v = sigs.reshape(n * bands, rows).astype(np.uint64)
+    p = np.uint64(_MERSENNE)
+    mul = np.uint64(BAND_HASH_MUL)
+    h = np.zeros(n * bands, np.uint64)
+    for r in range(rows):
+        # (h*MUL % p + v) % p == (h*MUL + v) % p since v's contribution
+        # is taken mod p in the same step; sum < 2^61 + 2^63 < 2^64
+        h = (mulmod_mersenne61(h, mul) + v[:, r]) % p
+    return h.astype(np.int64).reshape(n, bands)
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """(n_docs,) int64 -- value-identical to ``simhash64(text)`` per
+    row. md5 runs once per DISTINCT token in the batch; the per-bit
+    majority vote is one chunked ``add.reduceat`` over token incidences
+    (multiplicity preserved, matching the scalar loop)."""
+    n = len(texts)
+    toks: list[str] = []
+    counts = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        ts = str(t).lower().split()
+        counts[i] = len(ts)
+        toks.extend(ts)
+    out = np.zeros(n, np.int64)
+    if not toks:
+        return out
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(toks, object), sort=False)
+    uh = np.fromiter((md5_64(u) for u in uniques), np.uint64, len(uniques))
+    bits = (
+        (uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int8)
+    contrib = (2 * bits - 1).astype(np.int32)  # +1 / -1 per bit
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    nz = np.flatnonzero(counts)
+    csum = np.concatenate([[0], np.cumsum(counts[nz])])
+    shifts = np.arange(64, dtype=np.uint64)
+    CHUNK = 262144  # incidences per gather: CHUNK x 64 x 4B = 64 MB
+    i = 0
+    while i < len(nz):
+        j = i + 1
+        while j < len(nz) and csum[j + 1] - csum[i] <= CHUNK:
+            j += 1
+        sel = nz[i:j]
+        lo, hi = int(offsets[sel[0]]), int(offsets[sel[-1] + 1])
+        g = contrib[codes[lo:hi]]
+        starts = (offsets[sel] - lo).astype(np.int64)
+        acc = np.add.reduceat(g.astype(np.int64), starts, axis=0)
+        vals = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[sel] = vals.view(np.int64)
+        i = j
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens, majority vote per bit.
     Token hash = first 8 bytes of md5 (functions/text.md5_64) so the

@@ -11,9 +11,15 @@ kernel that computes for 20 ms spends 500 ms in the kernel. Raising the
 mmap threshold and the trim threshold keeps freed buffers in the arena,
 so a worker's steady-state tasks allocate from warm pages.
 
-Called once per process at package import (Ray workers import the
-package when they deserialize our task functions). Idempotent, no-op on
-non-glibc platforms. Bounded: the arena retains at most the worker's
+OPT-IN: tuning only applies when ``CLPM_MEMTUNE`` is set in the
+environment (bench.py sets it; Ray workers inherit the driver's env on
+a locally started cluster, and multi-node deployments set it in the
+worker env). The hook is *invoked* once per process at package import
+(Ray workers import the package when they deserialize our task
+functions -- the only point we can reach every worker process), but
+without the env var it is a no-op, so merely importing the package
+never mutates a host application's allocator state. Idempotent, no-op
+on non-glibc platforms. Bounded: the arena retains at most the worker's
 high-water scratch mark (a few hundred MB for the mining kernels), the
 same memory the task would have touched anyway.
 
@@ -34,16 +40,17 @@ _M_MMAP_THRESHOLD = -3
 _done = False
 
 
-def tune() -> None:
-    """Raise glibc malloc thresholds + pin jemalloc decay (idempotent)."""
+def tune(force: bool = False) -> None:
+    """Raise glibc malloc thresholds + pin jemalloc decay (idempotent).
+    No-op unless CLPM_MEMTUNE is set (opt-in) or ``force=True``."""
     global _done
     if _done:
         return
-    _done = True
     import os
 
-    if os.environ.get("CLPM_NO_MEMTUNE"):  # A/B escape hatch
-        return
+    if not force and not os.environ.get("CLPM_MEMTUNE"):
+        return  # opt-in only: never mutate allocator state as an import side effect
+    _done = True
     try:
         libc = ctypes.CDLL(None)
         # numpy block buffers run tens of MB: keep them off mmap entirely

@@ -237,7 +237,7 @@ def mine_coordinated(
         if origin is None:
             origin = global_origin(instances)
         pairs = neighbor_pairs(instances, cfg, origin=origin)
-        return build_shard_stars(pairs, ctx, n_shards, cfg.star_buckets)
+        return build_shard_stars(pairs, ctx, n_shards, cfg.resolved_star_buckets())
 
     try:
         if use_checkpoint:

@@ -411,7 +411,7 @@ def mine_task_graph(
     import ray as _ray
 
     d = cfg.cell_size()
-    nb = cfg.star_buckets
+    nb = cfg.resolved_star_buckets()
 
     # cell assignment + tile/halo replication + bucket + slice happen in
     # ONE task per encoded block GROUP (the encode blocks are already

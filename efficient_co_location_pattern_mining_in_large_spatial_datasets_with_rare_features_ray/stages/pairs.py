@@ -268,7 +268,7 @@ def neighbor_pairs(
         origin = cfg.grid_origin or global_origin(instances)
     ds = assign_cells(instances, d, origin)
     ds = replicate_to_tiles(ds, cfg.tile_cells)
-    n_buckets = cfg.star_buckets
+    n_buckets = cfg.resolved_star_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         tiles = t["tile"].to_numpy(zero_copy_only=False)

@@ -70,18 +70,44 @@ def shard_of(ids: pd.Series | np.ndarray, n_shards: int) -> np.ndarray:
     ).astype(np.int32)
 
 
+def materialized_blocks(ds) -> list[tuple]:
+    """(block ref, num_rows) pairs of a materialized Dataset, taken from
+    the executor's own block metadata -- no per-block row-count task
+    wave (that wave was one extra scheduling round trip of fixed cost on
+    every mining job). Blocks are raw (Arrow on every path this engine
+    builds; consumers convert defensively)."""
+    mat = ds.materialize()
+    out: list[tuple] = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            out.append((ref, meta.num_rows))
+    if any(n is None for _, n in out):  # metadata gap: count with tasks
+
+        @ray.remote
+        def _nrows(t) -> int:
+            return len(t) if not hasattr(t, "num_rows") else t.num_rows
+
+        ns = ray.get([_nrows.remote(r) for r, n in out if n is None])
+        it = iter(ns)
+        out = [(r, n if n is not None else next(it)) for r, n in out]
+    return out
+
+
 def encode_and_scan(instances) -> tuple["Dataset", dict, tuple[float, float]]:
     """``encode_instance_ids`` fused with the metadata scan: ONE pass
     over the materialized source blocks assigns positional int64 codes
     AND computes the per-block feature counts + (min x, min y) partials
     (num_returns=2 per block). Saves a whole Dataset job per mining run
     -- the separate scan_metadata pass was ~2-5 s of fixed overhead on
-    jobs whose parallel work is tens of seconds."""
+    jobs whose parallel work is tens of seconds. Block row counts come
+    from executor metadata (materialized_blocks), not a task wave."""
 
     @ray.remote(num_returns=2)
-    def _code_and_scan(t: pa.Table, offset: int):
+    def _code_and_scan(t, offset: int):
         import pyarrow.compute as pc
 
+        if isinstance(t, pd.DataFrame):  # defensive: pandas block
+            t = pa.Table.from_pandas(t, preserve_index=False)
         cols = {
             "instance_id": pa.array(
                 np.arange(offset, offset + t.num_rows, dtype=np.int64),
@@ -103,15 +129,10 @@ def encode_and_scan(instances) -> tuple["Dataset", dict, tuple[float, float]]:
             meta = ({}, None, None)
         return coded, meta
 
-    @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    refs = instances.materialize().to_arrow_refs()
-    ns = ray.get([_nrows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(ns)])
+    blocks = materialized_blocks(instances)
+    offsets = np.concatenate([[0], np.cumsum([n for _, n in blocks])])
     coded, metas = [], []
-    for r, o in zip(refs, offsets[:-1]):
+    for (r, _), o in zip(blocks, offsets[:-1]):
         c, m = _code_and_scan.remote(r, int(o))
         coded.append(c)
         metas.append(m)
@@ -140,11 +161,9 @@ def encode_instance_ids(instances) -> "Dataset":
     pair join, so the source is read exactly once per job."""
 
     @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    @ray.remote
-    def _code_block(t: pa.Table, offset: int) -> pa.Table:
+    def _code_block(t, offset: int) -> pa.Table:
+        if isinstance(t, pd.DataFrame):  # defensive: pandas block
+            t = pa.Table.from_pandas(t, preserve_index=False)
         cols = {
             "instance_id": pa.array(
                 np.arange(offset, offset + t.num_rows, dtype=np.int64),
@@ -156,11 +175,11 @@ def encode_instance_ids(instances) -> "Dataset":
                 cols[name] = t[name]
         return pa.table(cols)
 
-    refs = instances.materialize().to_arrow_refs()
-    ns = ray.get([_nrows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(ns)])
+    blocks = materialized_blocks(instances)
+    offsets = np.concatenate([[0], np.cumsum([n for _, n in blocks])])
     coded = [
-        _code_block.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])
+        _code_block.remote(r, int(o))
+        for (r, _), o in zip(blocks, offsets[:-1])
     ]
     import ray.data as _rd
 

@@ -369,10 +369,9 @@ def build_stars(
     this stage pair at 1.6M rows / 16 cpus."""
     from .exchange import static_group_exchange
 
-    edges = directed_keyed_edges(pairs, ctx, cfg.star_buckets)
-    return static_group_exchange(
-        edges, "bucket", cfg.star_buckets, _build_bucket_stars
-    )
+    nb = cfg.resolved_star_buckets()
+    edges = directed_keyed_edges(pairs, ctx, nb)
+    return static_group_exchange(edges, "bucket", nb, _build_bucket_stars)
 
 
 def ordered_edges(pairs: Dataset, ctx: FeatureContext) -> Dataset:
