@@ -24,10 +24,14 @@ class MiningConfig:
     # Grid / shuffle knobs (ours)
     tile_cells: int = 32        # cells per tile side; halo overhead ~ 2/tile_cells
     # hash buckets for the pair/star exchanges. None (default) adapts to
-    # the cluster: ~4 buckets per cpu, clamped to [16, 64] -- measured at
-    # 16 cpus: 64 best, 128 ~20% slower (4x the inter-stage slice objects
-    # -> arg-resolution latency between waves), 32 worse (bucket skew
-    # stragglers); a fixed 64 at 4 cpus is 16 waves of arg resolution.
+    # BOTH cluster size (>= ~4 per cpu for balance) and input size (keep
+    # per-bucket rows bounded so one task's working set stays inside a
+    # worker's warm allocator arena -- measured: 16 buckets on the 1.6M
+    # fixture ballooned the star stage's CPU 22 s -> 127 s purely from
+    # first-touch page faults on the 4x working set). Measured at 16
+    # cpus / 1.6M rows: 64 best, 128 ~20% slower (4x the inter-stage
+    # slice objects -> arg-resolution latency between waves), 32 worse
+    # (bucket skew stragglers).
     star_buckets: int | None = None
     mining_concurrency: int | None = None  # cap on concurrent subtree groups
     # split each subtree's k>=3 level loop into one task per prevalent
@@ -54,9 +58,16 @@ class MiningConfig:
     def cell_size(self) -> float:
         return float(self.neighbor_distance)
 
-    def resolved_star_buckets(self) -> int:
-        """Bucket count for the pair/star exchanges: the configured value,
-        or ~4 per cluster cpu clamped to [16, 64] (see field comment)."""
+    # target instance rows per exchange bucket when adapting star_buckets
+    # to input size (1.6M rows / 25k = 64 buckets, the measured optimum)
+    ROWS_PER_BUCKET = 25_000
+
+    def resolved_star_buckets(self, n_rows: int | None = None) -> int:
+        """Bucket count for the pair/star exchanges: the configured
+        value, or adapt to cluster + input size (see field comment):
+        ``min(64, max(16, 4*cpus, n_rows/25k))`` -- the data term keeps
+        each bucket task's working set bounded (page-fault locality),
+        the cpu term keeps small jobs from under-fanning."""
         if self.star_buckets is not None:
             return int(self.star_buckets)
         try:
@@ -69,7 +80,8 @@ class MiningConfig:
             )
         except Exception:
             cpus = 8
-        return min(64, max(16, 4 * cpus))
+        size_term = (n_rows or 0) // self.ROWS_PER_BUCKET
+        return min(64, max(16, 4 * cpus, size_term))
 
 
 def load_config_file(path: str) -> MiningConfig:

@@ -43,9 +43,18 @@ def quality_metrics(texts: pd.Series) -> pd.DataFrame:
     n_words = words.str.len().to_numpy(np.int64)
     nospace = texts.str.replace(_WS, "", regex=True).str.len().to_numpy(np.int64)
     punct = texts.str.count(_PUNCT).to_numpy(np.int64)
-    stops = words.map(
-        lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
-    ).to_numpy(np.int64)
+    # vectorized stopword count: explode the token lists once and test
+    # membership in C (same exact semantics as the former per-row loop:
+    # whitespace tokens, lowercased, exact match)
+    ex = words.reset_index(drop=True).explode()
+    stops = (
+        ex.str.lower()
+        .isin(STOPWORDS)
+        .groupby(level=0)
+        .sum()
+        .reindex(range(len(texts)), fill_value=0)
+        .to_numpy(np.int64)
+    )
     nw = np.maximum(n_words, 1).astype(np.float64)
     avg_word_len = np.round(nospace / nw, 6)
     punct_ratio = np.round(punct / np.maximum(n_chars, 1), 6)

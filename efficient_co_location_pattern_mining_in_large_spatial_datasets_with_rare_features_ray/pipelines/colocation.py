@@ -85,8 +85,14 @@ class MiningRun:
     seconds: float
     n_instances: int | None = None
     stage_stats: str | None = None  # ds.stats() of the executed DAG
+    # the driver-side result table, cached when the run built it --
+    # patterns_table() then skips a whole (tiny but ~0.3-0.5 s fixed
+    # cost) Dataset job per call
+    table: pa.Table | None = None
 
     def patterns_table(self) -> pa.Table:
+        if self.table is not None:
+            return self.table
         refs = self.patterns.to_arrow_refs()
         parts = [
             p.select(PATTERN_SCHEMA.names)
@@ -118,39 +124,71 @@ def mine(
     instances: Dataset,
     cfg: MiningConfig | None = None,
     ctx: FeatureContext | None = None,
+    work_dir: str | None = None,
 ) -> MiningRun:
     """Run the full pipeline. ``instances`` must have columns
-    (instance_id: string, feature: string, x: float64, y: float64)."""
+    (instance_id: string, feature: string, x: float64, y: float64).
+
+    ``work_dir`` (or ``cfg.checkpoint_dir``) makes the run RESUMABLE:
+    the star exchange's output and each subtree's pattern rows are
+    checkpointed as fingerprinted parquet partitions; a rerun after a
+    mid-job kill skips completed stages/roots
+    (stages/mining.mine_task_graph_checkpointed)."""
+    import os as _os
+
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
-    origin = cfg.grid_origin
-    # dictionary-encode instance ids once (every later exchange moves
-    # int64 instead of strings), FUSED with the metadata scan: one pass
-    # assigns codes and aggregates feature counts + grid origin, and the
-    # coded blocks feed the pair join from the object store -- the
-    # source is read exactly once per job.
-    from ..stages.sharded import encode_and_scan
+    _timing = _os.environ.get("CLPM_TASK_TIMING")
 
-    instances, counts, scanned_origin = encode_and_scan(instances)
+    def _milestone(label: str) -> None:
+        if _timing:
+            print(f"MILESTONE {label} {time.perf_counter() - t0:.3f}", flush=True)
+
+    origin = cfg.grid_origin
+    # ONE materialize of the source; per-block row counts come from the
+    # executor metadata, the feature-count/origin scan is one grouped
+    # task wave, and the positional int64 id coding happens INSIDE the
+    # task graph's first wave (offsets derive from the metadata) -- the
+    # source is read once and written to plasma once.
+    from ..stages.mining import scan_meta_blocks
+    from ..stages.sharded import materialized_blocks
+
+    blocks = materialized_blocks(instances)
+    counts, scanned_origin = scan_meta_blocks(blocks)
+    _milestone("encode_done")
     if ctx is None:
         ctx = FeatureContext(counts)
     origin = origin or scanned_origin
 
-    # barrier-free task graph: pair buckets -> edge slices -> star build
-    # (pre-split by subtree) -> per-subtree level loop; each stage starts
-    # the moment its inputs exist (stages/mining.mine_task_graph)
-    from ..stages.mining import mine_task_graph
+    work_dir = work_dir or cfg.checkpoint_dir
+    if work_dir is not None:
+        from ..stages.mining import mine_task_graph_checkpointed
 
-    tasks = mine_task_graph(
-        instances, ctx, cfg, origin, n_codes=int(sum(counts.values()))
-    )
-    # branch-split preps return LISTS of nested branch-task refs
-    # alongside plain pattern tables; flatten one level
-    results = ray.get(tasks)
-    nested = [r for res in results if isinstance(res, list) for r in res]
-    tables = [t for t in results if not isinstance(t, list)]
-    tables += ray.get(nested)
-    tables = [t for t in tables if t.num_rows]
+        tables = mine_task_graph_checkpointed(
+            blocks, ctx, cfg, origin,
+            n_codes=int(sum(counts.values())), work_dir=work_dir,
+        )
+        tables = [t for t in tables if t.num_rows]
+    else:
+        # barrier-free task graph: pair buckets -> edge slices -> star
+        # build (pre-split by subtree) -> per-subtree level loop; each
+        # stage starts the moment its inputs exist
+        # (stages/mining.mine_task_graph)
+        from ..stages.mining import mine_task_graph
+
+        tasks = mine_task_graph(
+            blocks, ctx, cfg, origin, n_codes=int(sum(counts.values()))
+        )
+        _milestone("graph_submitted")
+        # branch-split preps return LISTS of nested branch-task refs
+        # alongside plain pattern tables; flatten one level
+        results = ray.get(tasks)
+        _milestone("preps_done")
+        nested = [r for res in results if isinstance(res, list) for r in res]
+        tables = [t for t in results if not isinstance(t, list)]
+        tables += ray.get(nested)
+        _milestone("branches_done")
+        tables = [t for t in tables if t.num_rows]
     out = (
         pa.concat_tables(tables).combine_chunks()
         if tables else PATTERN_SCHEMA.empty_table()
@@ -161,7 +199,9 @@ def mine(
     out = out.sort_by([("k", "ascending"), ("pattern", "ascending")])
     patterns = ray.data.from_arrow(out)
     secs = time.perf_counter() - t0
-    return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
+    return MiningRun(
+        patterns=patterns, ctx=ctx, config=cfg, seconds=secs, table=out
+    )
 
 
 def mine_coordinated(
@@ -237,7 +277,10 @@ def mine_coordinated(
         if origin is None:
             origin = global_origin(instances)
         pairs = neighbor_pairs(instances, cfg, origin=origin)
-        return build_shard_stars(pairs, ctx, n_shards, cfg.resolved_star_buckets())
+        return build_shard_stars(
+            pairs, ctx, n_shards,
+            cfg.resolved_star_buckets(n_rows=int(sum(ctx.counts.values()))),
+        )
 
     try:
         if use_checkpoint:
@@ -289,7 +332,9 @@ def mine_coordinated(
     )
     patterns = ray.data.from_arrow(t)
     secs = time.perf_counter() - t0
-    return MiningRun(patterns=patterns, ctx=ctx, config=cfg, seconds=secs)
+    return MiningRun(
+        patterns=patterns, ctx=ctx, config=cfg, seconds=secs, table=t
+    )
 
 
 def write_results(run: MiningRun, out_dir: str) -> dict:

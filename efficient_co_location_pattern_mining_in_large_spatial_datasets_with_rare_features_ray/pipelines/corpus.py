@@ -25,7 +25,6 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..functions.dedup import crc_bucket
 from ..functions.text import quality_metrics
 from .dedup import minhash_verified_pairs
 
@@ -243,8 +242,15 @@ def clean_corpus(
 
     exact_marked = (
         good.map_batches(
+            # any stable bucket hash works (grouping inside is exact);
+            # vectorized, no per-row Python
             lambda df: df.assign(
-                bucket=df["text"].map(lambda t: crc_bucket(t, n_buckets))
+                bucket=(
+                    pd.util.hash_array(
+                        df["text"].to_numpy(object), categorize=False
+                    )
+                    % np.uint64(n_buckets)
+                ).astype(np.int64)
             ),
             batch_format="pandas",
         )

@@ -25,13 +25,12 @@ from ray.data import Dataset
 
 from ..functions.dedup import (
     MINHASH_BANDS,
-    band_hashes,
-    crc_bucket,
-    hashed_shingles,
-    minhash_signature,
-    simhash64,
+    band_hashes_batch,
+    hashed_shingles_batch,
+    minhash_signatures_batch,
+    simhash64_batch,
 )
-from ..functions.text import char_shingles_str, jaccard
+from ..functions.text import char_shingles_str
 
 
 def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
@@ -41,7 +40,12 @@ def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "text"]].copy()
-        df["bucket"] = df["text"].map(lambda t: crc_bucket(t, n_buckets))
+        # any stable bucket hash works (grouping inside is exact);
+        # vectorized, no per-row Python
+        df["bucket"] = (
+            pd.util.hash_array(df["text"].to_numpy(object), categorize=False)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return df
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,17 +66,20 @@ def minhash_band_rows(docs: Dataset) -> Dataset:
     """(band, band_hash, doc_id) rows -- the LSH explode."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, hashes = [], [], []
-        for did, text in zip(df["doc_id"], df["text"]):
-            bh = band_hashes(minhash_signature(text))
-            ids.extend([did] * MINHASH_BANDS)
-            bands.extend(range(MINHASH_BANDS))
-            hashes.extend(bh.tolist())
+        # whole-batch signature + band kernel (md5 once per DISTINCT
+        # shingle in the batch, chunked reduceat min -- no per-doc loop);
+        # values bit-identical to the scalar minhash_signature/band_hashes
+        bh = band_hashes_batch(minhash_signatures_batch(df["text"].tolist()))
+        n = len(df)
         return pd.DataFrame(
             {
-                "band": np.asarray(bands, np.int32),
-                "band_hash": np.asarray(hashes, np.int64),
-                "doc_id": np.asarray(ids, np.int64),
+                "band": np.tile(
+                    np.arange(MINHASH_BANDS, dtype=np.int32), n
+                ),
+                "band_hash": bh.ravel(),
+                "doc_id": np.repeat(
+                    df["doc_id"].to_numpy(np.int64), MINHASH_BANDS
+                ),
             }
         )
 
@@ -237,13 +244,17 @@ def minhash_verified_pairs(
             return empty
         needed = set(role_rows["doc_id"].tolist())
         doc_rows = df[df["kind"] == 1]
+        doc_rows = doc_rows[doc_rows["doc_id"].isin(needed)]
         # md5-hashed shingles: the same values the minhash signature and
         # the DuckDB oracle compute, so the exact-Jaccard verify agrees
-        # with SQL bit-for-bit
+        # with SQL bit-for-bit (batched kernel: md5 once per distinct
+        # shingle, values sorted per doc)
+        vals, offs = hashed_shingles_batch(
+            doc_rows["text"].tolist(), shingle_k
+        )
         sh = {
-            did: np.sort(hashed_shingles(t, shingle_k)).astype(np.int64)
-            for did, t in zip(doc_rows["doc_id"], doc_rows["text"])
-            if did in needed
+            did: vals[offs[i]: offs[i + 1]].astype(np.int64)
+            for i, did in enumerate(doc_rows["doc_id"])
         }
         # a candidate doc may be absent from the corpus stream entirely;
         # drop its role rows so verify's len(sub) != 2 guard reports the
@@ -332,9 +343,8 @@ def simhash_signatures(docs: Dataset) -> Dataset:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
-                "simhash": np.asarray(
-                    [simhash64(t) for t in df["text"]], np.int64
-                ),
+                # batched kernel: md5 once per distinct token in the batch
+                "simhash": simhash64_batch(df["text"].tolist()),
             }
         )
 

@@ -155,24 +155,98 @@ def _mine_branch_task(
 
 
 @ray.remote
+def _scan_meta_group(*blocks):
+    """One meta-scan task per block GROUP: per-feature counts + grid
+    origin partials. Replaces the former per-block code-and-scan wave
+    (the id coding moved into _inst_block_slices, so the source table is
+    never copied to plasma a second time)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    counts: dict = {}
+    ox, oy = None, None
+    for t in blocks:
+        if isinstance(t, pd.DataFrame):  # defensive: pandas block
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if not t.num_rows:
+            continue
+        vc = t["feature"].combine_chunks().value_counts()
+        for f, n in zip(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        ):
+            counts[f] = counts.get(f, 0) + int(n)
+        mx = pc.min(t["x"]).as_py()
+        my = pc.min(t["y"]).as_py()
+        ox = mx if ox is None else min(ox, mx)
+        oy = my if oy is None else min(oy, my)
+    return counts, ox, oy
+
+
+def _group_blocks(blocks: list[tuple]) -> list[list[tuple]]:
+    """Group (ref, num_rows) blocks to ~2 tasks per cpu so downstream
+    exchange tasks resolve tens of slice objects, not hundreds (224
+    blocks x 64 returns measured as ~1 s of arg-resolution latency per
+    exchange wave)."""
+    import ray as _ray
+
+    n_groups = max(1, min(
+        len(blocks), 2 * int(_ray.cluster_resources().get("CPU", 8))
+    ))
+    per = (len(blocks) + n_groups - 1) // n_groups
+    return [blocks[i: i + per] for i in range(0, len(blocks), per)]
+
+
+def scan_meta_blocks(blocks: list[tuple]) -> tuple[dict, tuple]:
+    """Feature-count map + global (min x, min y) over materialized
+    blocks: one grouped task wave, partials merged on the driver."""
+    metas = ray.get(
+        [_scan_meta_group.remote(*[r for r, _ in g]) for g in _group_blocks(blocks)]
+    )
+    counts: dict = {}
+    ox, oy = float("inf"), float("inf")
+    for cts, mx, my in metas:
+        for f, n in cts.items():
+            counts[f] = counts.get(f, 0) + int(n)
+        if mx is not None:
+            ox = min(ox, mx)
+            oy = min(oy, my)
+    return counts, (ox, oy)
+
+
+@ray.remote
 def _inst_block_slices(
     d: float, origin: tuple[float, float], tile_cells: int,
-    n_buckets: int, *blocks,
+    n_buckets: int, offsets: tuple, *blocks,
 ):
-    """A group of encoded instance blocks -> cell/tile/halo/bucket
-    columns -> per-bucket slices (num_returns). Fuses what used to be a
-    separate three-stage Dataset job into the task graph so the pair
-    join starts the moment the encode blocks exist; the driver groups
-    small source blocks so the downstream pair tasks resolve tens of
-    slice objects, not hundreds (224 blocks x 64 returns measured as
-    ~1 s of arg-resolution latency per exchange wave)."""
+    """A group of source instance blocks -> positional int64 id codes
+    (offsets precomputed on the driver from block metadata) ->
+    cell/tile/halo/bucket columns -> per-bucket slices (num_returns).
+    Fuses what used to be a separate encode wave plus a three-stage
+    Dataset job into ONE task per block group, so the pair join starts
+    the moment the source blocks exist and the table is written to
+    plasma exactly once (as slices)."""
+    import pandas as pd
+
     from .grid import cell_columns, replicate_table
     from .stars import _stable_bucket
 
     _done = _task_timing("inst")
+    coded = []
+    for t, off in zip(blocks, offsets):
+        if isinstance(t, pd.DataFrame):  # defensive: pandas block
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        cols = {
+            "instance_id": pa.array(
+                np.arange(off, off + t.num_rows, dtype=np.int64), pa.int64()
+            )
+        }
+        for name in t.column_names:
+            if name != "instance_id":
+                cols[name] = t[name]
+        coded.append(pa.table(cols))
     t = (
-        blocks[0] if len(blocks) == 1
-        else pa.concat_tables(blocks).combine_chunks()
+        coded[0] if len(coded) == 1
+        else pa.concat_tables(coded).combine_chunks()
     )
     t = cell_columns(t, d, origin)
     t = replicate_table(t, tile_cells)
@@ -315,15 +389,14 @@ def _csr_from_key_slices(
     return StarCSR(by_feat, n_codes), t1.astype(np.int32)
 
 
-@ray.remote(num_returns=2)
-def _prep_key_subtree_task(
+def _prep_key_subtree_body(
     ctx: FeatureContext, min_prev: float, measure: str, root: str,
-    n_codes: int, *slices,
+    n_codes: int, parts_list,
 ):
-    """Branch-split phase 1 over the compact key format: build the CSR
-    index once, run the exact k=2 level, then SUBMIT the branch tasks
-    from here -- one per PREVALENT second feature -- and return their
-    refs (num_returns=2: (branch_refs, k2_table)).
+    """Shared body of the prep task (live-graph and resume variants):
+    build the CSR index once, run the exact k=2 level, then SUBMIT the
+    branch tasks from here -- one per PREVALENT second feature -- and
+    return (branch_refs, k2_table).
 
     Nested submission, not driver-side: scheduled from the driver, the
     branch flood of early subtrees starved later preps of worker slots
@@ -335,7 +408,7 @@ def _prep_key_subtree_task(
     from ..mining_core import mine_k2
 
     _done = _task_timing(f"prep:{root}")
-    parts = [s for s in slices if s is not None and s.num_rows]
+    parts = [s for s in parts_list if s is not None and s.num_rows]
     if not parts:
         _done()
         return [], PATTERN_SCHEMA.empty_table()
@@ -356,6 +429,16 @@ def _prep_key_subtree_task(
     ]
     _done()
     return branches, _records_table(recs2, root)
+
+
+@ray.remote(num_returns=2)
+def _prep_key_subtree_task(
+    ctx: FeatureContext, min_prev: float, measure: str, root: str,
+    n_codes: int, *slices,
+):
+    """Branch-split phase 1 over the compact key format (see
+    _prep_key_subtree_body)."""
+    return _prep_key_subtree_body(ctx, min_prev, measure, root, n_codes, slices)
 
 
 @ray.remote
@@ -382,8 +465,50 @@ def _build_star_slices(n_feats: int, *edge_slices):
     return tuple(outs) if n_feats > 1 else outs[0]
 
 
+@ray.remote
+def _write_root_star_slices(root_dir: str, *slices) -> int:
+    """Checkpoint one subtree's star key slices: one parquet file per
+    non-empty bucket slice (file = slice so the resume path hands the
+    prep task the same per-bucket parts, preserving both the sorted-by-
+    grp invariant and the T1-disjointness across parts)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root_dir, exist_ok=True)
+    n = 0
+    for i, s in enumerate(slices):
+        if s is not None and s.num_rows:
+            pq.write_table(s, f"{root_dir}/bucket_{i:05d}.parquet")
+            n += s.num_rows
+    return n
+
+
+@ray.remote
+def _read_root_star_slices(root_dir: str) -> list:
+    """Load one subtree's checkpointed star slices (file = original
+    bucket slice)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return [pq.read_table(p) for p in sorted(glob.glob(f"{root_dir}/bucket_*.parquet"))]
+
+
+@ray.remote(num_returns=2)
+def _prep_key_subtree_from_ckpt(
+    ctx: FeatureContext, min_prev: float, measure: str, root: str,
+    n_codes: int, slices_list: list,
+):
+    """Resume-path prep: same as _prep_key_subtree_task but over slices
+    loaded from the star checkpoint (list arg instead of *refs)."""
+    return _prep_key_subtree_body(
+        ctx, min_prev, measure, root, n_codes, slices_list
+    )
+
+
 def mine_task_graph(
-    instances: Dataset,
+    blocks: list[tuple],
     ctx: FeatureContext,
     cfg: MiningConfig,
     origin: tuple[float, float],
@@ -391,7 +516,7 @@ def mine_task_graph(
 ) -> list:
     """The flagship mining path as ONE barrier-free task graph:
 
-        instances (cell/tile/bucket columns via Dataset maps)
+        source blocks (id coding + cell/tile/bucket columns in-task)
           -> split by pair bucket            (static exchange slices)
           -> pair kernel + edge emit         (one task per pair bucket,
                                               output pre-sliced by star bucket)
@@ -410,60 +535,18 @@ def mine_task_graph(
     table refs (PATTERN_SCHEMA)."""
     import ray as _ray
 
-    d = cfg.cell_size()
-    nb = cfg.resolved_star_buckets()
-
-    # cell assignment + tile/halo replication + bucket + slice happen in
-    # ONE task per encoded block GROUP (the encode blocks are already
-    # materialized): the former three map_batches + materialize Dataset
-    # job added a whole-pipeline barrier and ~1-2 s of fixed latency.
-    # Blocks group to ~2 tasks per cpu so each pair task resolves a
-    # bounded number of slice objects.
-    refs = instances.materialize().to_arrow_refs()
-    n_groups = max(1, min(
-        len(refs), 2 * int(_ray.cluster_resources().get("CPU", 8))
-    ))
-    per = (len(refs) + n_groups - 1) // n_groups
-    groups = [refs[i: i + per] for i in range(0, len(refs), per)]
-    inst_grids = [
-        _inst_block_slices.options(num_returns=nb).remote(
-            d, origin, cfg.tile_cells, nb, *grp
-        )
-        for grp in groups
-    ]
-    if nb == 1:
-        inst_grids = [[g] for g in inst_grids]
-    rank_ref = _ray.put(dict(ctx.rank))
-    edge_grids = [
-        _pairs_to_edge_slices.options(num_returns=nb).remote(
-            rank_ref, nb, d,
-            *[inst_grids[b][i] for b in range(len(inst_grids))],
-        )
-        for i in range(nb)
-    ]
-    if nb == 1:
-        edge_grids = [[g] for g in edge_grids]
-    feats = list(ctx.order)
-    nf = len(feats)
-    builder = _build_key_slices if cfg.branch_split else _build_star_slices
     if n_codes is None:  # instance codes are positional -> count = max+1
         n_codes = int(sum(ctx.counts.values()))
-    extra = (n_codes,) if cfg.branch_split else ()
-    star_grids = [
-        builder.options(num_returns=nf).remote(
-            nf, *extra, *[edge_grids[p][s] for p in range(nb)]
-        )
-        for s in range(nb)
-    ]
-    if nf == 1:
-        star_grids = [[g] for g in star_grids]
+    star_grids, nb = _build_star_grids(blocks, ctx, cfg, origin, n_codes)
+    feats = list(ctx.order)
+    nf = len(feats)
     ctx_ref = _ray.put(ctx)
     tasks = []
     if cfg.branch_split:
         # two-phase branch split: without it the rarest feature's
         # subtree is ONE task bounding the whole job's tail (measured
         # ~20 s of a ~40 s 16-cpu run on the 1.6M fixture). Each prep
-        # returns (branch_refs, k2_table) -- see _prep_key_subtree_task
+        # returns (branch_refs, k2_table) -- see _prep_key_subtree_body
         # for why branches are spawned from inside the prep. The
         # last-ranked feature roots no pattern (k=2 needs a larger-rank
         # partner); skipped.
@@ -487,3 +570,168 @@ def mine_task_graph(
     return tasks
 
 
+def _build_star_grids(
+    blocks: list[tuple],
+    ctx: FeatureContext,
+    cfg: MiningConfig,
+    origin: tuple[float, float],
+    n_codes: int,
+):
+    """The first half of the task graph (source blocks -> id coding +
+    pair buckets -> edge slices -> per-subtree star slices). ``blocks``
+    is the (ref, num_rows) list from sharded.materialized_blocks; id
+    code offsets derive from the metadata row counts, so coding happens
+    INSIDE the first task wave (no separate encode wave, no second
+    plasma copy of the source table). Returns (star_grids, n_buckets)
+    where star_grids[bucket][subtree] is a slice ref."""
+    import ray as _ray
+
+    d = cfg.cell_size()
+    nb = cfg.resolved_star_buckets(n_rows=int(sum(ctx.counts.values())))
+
+    # cell assignment + tile/halo replication + bucket + slice happen in
+    # ONE task per source block GROUP: the former encode wave plus three
+    # map_batches + materialize Dataset jobs added whole-pipeline
+    # barriers and ~1-2 s of fixed latency each.
+    offsets = np.concatenate([[0], np.cumsum([n for _, n in blocks])])
+    groups = _group_blocks(
+        [(r, int(o)) for (r, _), o in zip(blocks, offsets[:-1])]
+    )
+    inst_grids = [
+        _inst_block_slices.options(num_returns=nb).remote(
+            d, origin, cfg.tile_cells, nb,
+            tuple(o for _, o in grp), *[r for r, _ in grp],
+        )
+        for grp in groups
+    ]
+    if nb == 1:
+        inst_grids = [[g] for g in inst_grids]
+    rank_ref = _ray.put(dict(ctx.rank))
+    edge_grids = [
+        _pairs_to_edge_slices.options(num_returns=nb).remote(
+            rank_ref, nb, d,
+            *[inst_grids[b][i] for b in range(len(inst_grids))],
+        )
+        for i in range(nb)
+    ]
+    if nb == 1:
+        edge_grids = [[g] for g in edge_grids]
+    feats = list(ctx.order)
+    nf = len(feats)
+    builder = _build_key_slices if cfg.branch_split else _build_star_slices
+    extra = (n_codes,) if cfg.branch_split else ()
+    star_grids = [
+        builder.options(num_returns=nf).remote(
+            nf, *extra, *[edge_grids[p][s] for p in range(nb)]
+        )
+        for s in range(nb)
+    ]
+    if nf == 1:
+        star_grids = [[g] for g in star_grids]
+    return star_grids, nb
+
+
+def mine_task_graph_checkpointed(
+    blocks: list[tuple],
+    ctx: FeatureContext,
+    cfg: MiningConfig,
+    origin: tuple[float, float],
+    n_codes: int,
+    work_dir: str,
+) -> list[pa.Table]:
+    """Flagship path with per-stage / per-partition checkpoints
+    (north rule: resumable with per-partition lineage):
+
+    * ``<work_dir>/star_keys/root=<fi>/bucket_*.parquet`` -- the star
+      exchange's output, one partition directory per subtree, one file
+      per original bucket slice. Fingerprinted on the GEOMETRY inputs
+      only (d, tile_cells, feature counts, origin, n_codes) so a
+      min_prevalence / measure re-run reuses the expensive join+star
+      stages untouched.
+    * ``<work_dir>/patterns/root=<fi>/patterns.parquet`` -- each
+      subtree's mined pattern rows, marked complete per root.
+
+    A rerun after a mid-job kill skips the encode/pair/star stages when
+    the star manifest matches and mines only the roots whose pattern
+    partition is missing; completed roots are read back from parquet.
+    Requires the compact-key format (cfg.branch_split)."""
+    import os
+
+    import ray as _ray
+
+    from ..state.checkpoint import is_complete, mark_complete
+
+    if not cfg.branch_split:
+        raise ValueError(
+            "checkpointed flagship mining requires branch_split=True "
+            "(the compact key star format); use mine_coordinated(work_dir=...) "
+            "for the salted mode's checkpoint"
+        )
+    feats = list(ctx.order)
+    nf = len(feats)
+    roots = feats[:-1]  # last-ranked feature roots no pattern
+    stars_dir = os.path.join(work_dir, "star_keys")
+    pat_dir = os.path.join(work_dir, "patterns")
+    fp_stars = {
+        "d": cfg.neighbor_distance,
+        "tile_cells": cfg.tile_cells,
+        "counts": sorted(ctx.counts.items()),
+        "origin": [origin[0], origin[1]],
+        "n_codes": n_codes,
+        "layout": "key-v1",
+    }
+    fp_pat = {
+        **fp_stars, "min_prev": cfg.min_prevalence, "measure": cfg.measure
+    }
+
+    if not is_complete(stars_dir, fp_stars):
+        import shutil
+
+        if os.path.isdir(stars_dir):  # partial write from a killed run
+            shutil.rmtree(stars_dir)
+        star_grids, nb = _build_star_grids(blocks, ctx, cfg, origin, n_codes)
+        ray.get(
+            [
+                _write_root_star_slices.remote(
+                    os.path.join(stars_dir, f"root={fi}"),
+                    *[star_grids[s][fi] for s in range(nb)],
+                )
+                for fi in range(len(roots))
+            ]
+        )
+        mark_complete(stars_dir, fp_stars)
+
+    import pyarrow.parquet as pq
+
+    ctx_ref = _ray.put(ctx)
+    tables: list[pa.Table] = []
+    pending = []
+    for fi, f in enumerate(roots):
+        rdir = os.path.join(pat_dir, f"root={fi}")
+        if is_complete(rdir, fp_pat):
+            tables.append(
+                pq.read_table(os.path.join(rdir, "patterns.parquet"))
+                .cast(PATTERN_SCHEMA)  # normalize list-child field names
+            )
+            continue
+        slices_list = _read_root_star_slices.remote(
+            os.path.join(stars_dir, f"root={fi}")
+        )
+        branches, k2 = _prep_key_subtree_from_ckpt.options(
+            num_returns=2
+        ).remote(
+            ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes, slices_list
+        )
+        pending.append((rdir, branches, k2))
+    for rdir, branches_ref, k2_ref in pending:
+        parts = [ray.get(k2_ref)] + ray.get(ray.get(branches_ref))
+        parts = [t for t in parts if t.num_rows]
+        t = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts else PATTERN_SCHEMA.empty_table()
+        )
+        os.makedirs(rdir, exist_ok=True)
+        pq.write_table(t, os.path.join(rdir, "patterns.parquet"))
+        mark_complete(rdir, fp_pat)
+        tables.append(t)
+    return tables

@@ -16,6 +16,7 @@ from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_fe
 )
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.colocation import (
     from_numpy,
+    mine,
     mine_coordinated,
 )
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.fixtures import (
@@ -111,3 +112,54 @@ def test_modes_agree_on_random_data(ray_session, seed):
     b = mine_coordinated(ds, cfg, n_shards=13).patterns_table()
     cols = ["pattern", "k", "wpi", "pi", "n_rows"]
     assert a.select(cols).to_pydict() == b.select(cols).to_pydict()
+
+
+def test_flagship_checkpoint_resume(ray_session, tmp_path):
+    """Task-graph (flagship) checkpoint/resume: the star exchange and the
+    per-root pattern partitions are fingerprinted parquet; a rerun skips
+    completed stages/roots; a kill mid-mining (simulated by deleting a
+    subset of root pattern partitions) resumes to identical output; a
+    min_prevalence change REUSES the geometry (star) checkpoint."""
+    import shutil
+
+    ids, feats, x, y = clustered_instances(500, seed=4)
+    ds = from_numpy(ids, feats, x, y, parallelism=4)
+    cfg = MiningConfig(neighbor_distance=10.0, min_prevalence=0.3)
+    baseline = mine(ds, cfg).patterns_table()
+
+    wd = str(tmp_path / "flag_ckpt")
+    run1 = mine(ds, cfg, work_dir=wd)
+    assert run1.patterns_table().equals(baseline)
+    star_manifest = os.path.join(wd, "star_keys", "_MANIFEST.json")
+    assert os.path.exists(star_manifest)
+    stamp = os.path.getmtime(star_manifest)
+    root_dirs = sorted(
+        d for d in os.listdir(os.path.join(wd, "patterns"))
+        if d.startswith("root=")
+    )
+    assert root_dirs
+
+    # full resume: everything read back, star manifest untouched
+    run2 = mine(ds, cfg, work_dir=wd)
+    assert run2.patterns_table().equals(baseline)
+    assert os.path.getmtime(star_manifest) == stamp
+
+    # kill mid-mining: drop some root partitions -> only those re-mine
+    for d in root_dirs[: max(1, len(root_dirs) // 2)]:
+        shutil.rmtree(os.path.join(wd, "patterns", d))
+    run3 = mine(ds, cfg, work_dir=wd)
+    assert run3.patterns_table().equals(baseline)
+    assert os.path.getmtime(star_manifest) == stamp  # stars never rebuilt
+
+    # threshold change: geometry checkpoint reused, patterns recomputed
+    cfg2 = MiningConfig(neighbor_distance=10.0, min_prevalence=0.5)
+    want2 = mine(ds, cfg2).patterns_table()
+    run4 = mine(ds, cfg2, work_dir=wd)
+    assert run4.patterns_table().equals(want2)
+    assert os.path.getmtime(star_manifest) == stamp
+
+    # kill mid-star-build: no manifest -> stage rebuilt from scratch
+    os.remove(star_manifest)
+    run5 = mine(ds, cfg, work_dir=wd)
+    assert run5.patterns_table().equals(baseline)
+    assert os.path.exists(star_manifest)

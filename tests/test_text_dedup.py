@@ -8,9 +8,15 @@ import pytest
 import ray.data
 
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.dedup import (
+    band_hashes,
+    band_hashes_batch,
     hamming64,
+    hashed_shingles,
+    hashed_shingles_batch,
     minhash_signature,
+    minhash_signatures_batch,
     simhash64,
+    simhash64_batch,
 )
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.text import (
     char_shingles,
@@ -83,6 +89,44 @@ def test_simhash_near_for_neardups():
     h3 = simhash64("totally unrelated words about orbital mechanics and fuel")
     assert hamming64(h1, h2) < hamming64(h1, h3)
     assert hamming64(h1, h2) <= 16
+
+
+# edge cases: empty, shorter-than-k, exactly-k, repeated shingles,
+# unicode (non-ascii codepoints), whitespace-only, long realistic text
+PARITY_TEXTS = [
+    "",
+    "ab",
+    "abcde",
+    "aaaaaaaaaa",
+    "héllo wörld ünïcode ÿ",
+    "   ",
+    BASE,
+    BASE.replace("lazy", "sleepy"),
+    "Mixed CASE Text With Punctuation!!! and... numbers 12345",
+]
+
+
+def test_hashed_shingles_batch_parity():
+    vals, offs = hashed_shingles_batch(PARITY_TEXTS, 5)
+    for i, t in enumerate(PARITY_TEXTS):
+        want = np.sort(hashed_shingles(t, 5))
+        got = vals[offs[i]: offs[i + 1]]
+        assert np.array_equal(got, want), t
+
+
+def test_minhash_and_band_batch_parity():
+    sigs = minhash_signatures_batch(PARITY_TEXTS)
+    bands = band_hashes_batch(sigs)
+    for i, t in enumerate(PARITY_TEXTS):
+        want_sig = minhash_signature(t)
+        assert np.array_equal(sigs[i], want_sig), t
+        assert np.array_equal(bands[i], band_hashes(want_sig)), t
+
+
+def test_simhash_batch_parity():
+    got = simhash64_batch(PARITY_TEXTS)
+    for i, t in enumerate(PARITY_TEXTS):
+        assert got[i] == simhash64(t), t
 
 
 def test_exact_dedup_pipeline(ray_session):
