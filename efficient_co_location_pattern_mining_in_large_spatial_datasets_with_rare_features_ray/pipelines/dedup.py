@@ -124,6 +124,50 @@ def minhash_candidates(docs: Dataset, n_buckets: int = 64) -> Dataset:
     return rows.groupby("bb").map_groups(pairs_in_bucket, batch_format="pandas")
 
 
+ID_SHARD_MAX = 1_000_000  # candidate ids per broadcast shard
+
+
+def shard_candidate_ids(needed_ids: np.ndarray, max_per_shard: int = ID_SHARD_MAX):
+    """Shard the (sorted) candidate doc-id set for broadcast: ids are
+    split by residue class into ceil(n/max_per_shard) separate objects,
+    so NO single all-candidates object ever exists -- at crawl scale the
+    id set outgrows one object / one worker-heap allocation, while each
+    shard stays a bounded, zero-copy plasma read. Returns
+    (n_shards, [refs])."""
+    import ray as _ray
+
+    n_sh = max(1, -(-len(needed_ids) // max_per_shard))
+    by = needed_ids % np.int64(n_sh)
+    return n_sh, [
+        # residue-class slices of a sorted array stay sorted
+        _ray.put(np.ascontiguousarray(needed_ids[by == s]))
+        for s in range(n_sh)
+    ]
+
+
+def filter_to_candidates(
+    did: np.ndarray, n_sh: int, shard_refs: list
+) -> np.ndarray:
+    """Membership mask of ``did`` against the sharded candidate-id set:
+    each batch touches only the shards its residues hit, one sorted
+    searchsorted probe per shard."""
+    import ray as _ray
+
+    mask = np.zeros(len(did), bool)
+    if not len(did):
+        return mask
+    mod = did % np.int64(n_sh)
+    for s in np.unique(mod):
+        ids = _ray.get(shard_refs[int(s)])
+        if not len(ids):
+            continue
+        sel = mod == s
+        d = did[sel]
+        pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        mask[sel] = ids[pos] == d
+    return mask
+
+
 def minhash_verified_pairs(
     docs: Dataset, threshold: float = 0.7, shingle_k: int = 5,
     n_buckets: int = 64,
@@ -140,12 +184,12 @@ def minhash_verified_pairs(
          texts) -> compute each needed doc's shingle set ONCE, attach to
          each of its role rows. The text side is SEMI-JOINED before the
          exchange: the distinct candidate doc ids (a few per pair,
-         deduped -- the small side) are broadcast once via ray.put and
-         each text batch keeps only matching rows, so non-candidate
+         deduped -- the small side) are broadcast SHARDED (one plasma
+         object per <= ID_SHARD_MAX ids, shard_candidate_ids) and each
+         text batch keeps only matching rows, so non-candidate
          documents' payloads never enter the shuffle (round 2 shipped
-         the FULL corpus text through this exchange and filtered after).
-         At corpus scale where even the candidate id set outgrows one
-         object, shard the broadcast per doc-bucket.
+         the FULL corpus text through this exchange and filtered after)
+         and no single all-candidates object exists at any scale.
       3. pair-bucket groupby  -> both role rows of a pair meet; exact
          Jaccard from the two sorted shingle arrays
     """
@@ -211,13 +255,14 @@ def minhash_verified_pairs(
     needed_ids = (
         np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
     )
-    needed_ref = _ray.put(needed_ids)  # broadcast once, read per batch
+    # broadcast SHARDED (one object per <= ID_SHARD_MAX ids): no single
+    # all-candidates object at any scale; batches probe only the shards
+    # their residues hit
+    n_id_shards, id_shard_refs = shard_candidate_ids(needed_ids)
 
     def keep_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        ids = _ray.get(needed_ref)
         did = df["doc_id"].to_numpy(np.int64)
-        pos = np.minimum(np.searchsorted(ids, did), max(len(ids) - 1, 0))
-        mask = ids[pos] == did if len(ids) else np.zeros(len(did), bool)
+        mask = filter_to_candidates(did, n_id_shards, id_shard_refs)
         df = df[mask]
         return pd.DataFrame(
             {

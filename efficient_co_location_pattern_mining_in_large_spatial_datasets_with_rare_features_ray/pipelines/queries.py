@@ -653,14 +653,30 @@ def q_embed_neardup(sf_dir: str) -> pa.Table:
 
 def q_embed_neardup_lsh(sf_dir: str) -> pa.Table:
     """Composed bucketed near-dup (LSH candidates -> per-bucket exact
-    verify). 24 bands x 3 bits gives per-pair miss probability
-    (1-p^3)^24 ~ 1e-3 at tau=0.4, so the output equals the exact
-    all-pairs op at this scale (verified table-equal at sf0.01) and
-    shares its SQL oracle."""
+    verify). At the oracle scale (<= 4096 vectors) 24 bands x 3 bits
+    gives per-pair miss probability (1-p^3)^24 ~ 1e-3 at tau=0.4, so the
+    output equals the exact all-pairs op (verified table-equal at
+    sf0.01) and shares its SQL oracle. Beyond that, band_bits grows with
+    the input (one extra bit per doubling) so expected bucket sizes --
+    and hence the per-bucket O(|g|^2) verify -- stay bounded instead of
+    each band bucket holding ~n/8 of the corpus."""
+    import glob
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
     from . import similarity
 
+    path = f"{sf_dir}/embeddings.parquet"
+    files = (
+        sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path)
+        else [path]
+    )
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    band_bits = max(3, 3 + math.ceil(math.log2(max(n, 1) / 4096)))
     return similarity.lsh_neardup_pairs(
-        _embeddings(sf_dir), NEARDUP_TAU, n_bands=24, band_bits=3
+        _embeddings(sf_dir), NEARDUP_TAU, n_bands=24, band_bits=band_bits
     )
 
 

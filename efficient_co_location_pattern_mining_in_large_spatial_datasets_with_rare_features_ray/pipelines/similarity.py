@@ -237,17 +237,20 @@ def lsh_neardup_pairs(
     (recall-tested vs the exact baseline; raise n_bands for tighter
     guarantees). Partitioning assumption: a single (band, bucket) group
     fits one task -- at crawl scale add more band bits to cap bucket
-    sizes. Output (a, b, sim) exactly like cosine_neardup_pairs."""
-    sample = embeddings.take(1)
-    dim = len(sample[0]["embedding"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bands * band_bits))
-    pref = ray.put(planes)
+    sizes (queries.q_embed_neardup_lsh scales band_bits with the input
+    row count). Output (a, b, sim) exactly like cosine_neardup_pairs.
+
+    The projection planes are regenerated per task from the fixed seed
+    and the batch's own embedding width (deterministic PCG64 stream, a
+    few KB of work) instead of a take(1) dim probe + broadcast: one
+    fewer pipeline-prefix read job per query and nothing to ship."""
     _pair_buckets = 32
 
     def add_band_buckets(df: pd.DataFrame) -> pa.Table:
-        planes_ = ray.get(pref)
         ids, m = _batch_matrix(df)
+        planes_ = np.random.default_rng(seed).standard_normal(
+            (m.shape[1], n_bands * band_bits)
+        )
         mn = _normalize(m)
         bits = (mn @ planes_) > 0  # (n, bands*bits)
         weights = 1 << np.arange(band_bits, dtype=np.int64)
@@ -314,6 +317,114 @@ def lsh_neardup_pairs(
     )
 
 
+N_ANN_PARTS = 32  # bucket-partition count for the probe layout
+
+
+@ray.remote
+def _probe_part_task(t: pa.Table, key: str, part_wanted: dict, q, k: int):
+    """Probe ONE bucket partition: scan only the wanted buckets inside
+    it. ``q`` arrives as the broadcast (qids, qn) object (Ray resolves
+    the top-level ref). Returns (partial top-k rows, probed row count)."""
+    import pyarrow.compute as pc
+
+    qids_, qn_ = q
+    rows = []
+    probed = 0
+    if key not in t.column_names:  # empty partition (no rows hashed here)
+        t = pa.table({})
+        part_wanted = {}
+    for bb, qis in part_wanted.items():
+        sub = t.filter(pc.equal(t[key], bb))
+        if not sub.num_rows:
+            continue
+        probed += sub.num_rows
+        ids, m = _unpack(sub)
+        sims = m @ qn_.T  # blocks stored pre-normalized
+        for qi in qis:
+            qid = qids_[qi]
+            idx = np.nonzero(ids != qid)[0]
+            if not len(idx):
+                continue
+            top = idx[np.argsort(-sims[idx, qi], kind="stable")[:k]]
+            rows.append(
+                pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids[top], "sim": sims[top, qi]}
+                )
+            )
+    if not rows:
+        out = pd.DataFrame(
+            {"query_id": np.empty(0, np.int64),
+             "vec_id": np.empty(0, np.int64),
+             "sim": np.empty(0, np.float64)}
+        )
+    else:
+        out = pd.concat(rows, ignore_index=True)
+    return out, probed
+
+
+def _probe_partitioned(
+    ds: Dataset, key: str, wanted: dict, qids, qn, k: int,
+    stats: dict | None = None,
+) -> pa.Table:
+    """The ANN probe over a BUCKET-PARTITIONED layout: materialize ``ds``
+    partitioned by ``hash(bucket) = bucket % N_ANN_PARTS`` (the static
+    exchange), then probe only the partitions containing wanted buckets.
+    Probes therefore read a small fraction of the rows instead of
+    filtering every block -- the layout a repeated-query serving path
+    wants (write the partitioned dataset once, probe many times).
+    ``stats``, if given, receives probed_rows / total_rows."""
+    from ..stages.exchange import static_group_exchange
+    from ..stages.sharded import materialized_blocks
+
+    n_parts = N_ANN_PARTS
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((kv % n_parts).astype(np.int64), pa.int64())
+        )
+
+    parted = static_group_exchange(
+        ds.map_batches(add_part, batch_format="pyarrow"), "part", n_parts,
+        lambda t: t,
+    )
+    blocks = materialized_blocks(parted)  # block i == partition i
+    per_part: dict[int, dict[int, list[int]]] = {}
+    for bb, qis in wanted.items():
+        per_part.setdefault(int(bb) % n_parts, {})[int(bb)] = qis
+    qref = ray.put((qids, qn))
+    outs = ray.get(
+        [
+            _probe_part_task.remote(blocks[p][0], key, pw, qref, k)
+            for p, pw in sorted(per_part.items())
+        ]
+    )
+    if stats is not None:
+        stats["probed_rows"] = int(sum(o[1] for o in outs))
+        stats["total_rows"] = int(sum(n for _, n in blocks))
+        stats["partitions_read"] = len(per_part)
+        stats["partitions_total"] = n_parts
+    best: dict[int, list[tuple[float, int]]] = {}
+    for df, _ in outs:
+        for qid, vid, sim in zip(
+            df["query_id"].to_numpy(np.int64),
+            df["vec_id"].to_numpy(np.int64),
+            df["sim"].to_numpy(np.float64),
+        ):
+            best.setdefault(int(qid), []).append((float(sim), int(vid)))
+    rows_out = []
+    for qid in sorted(best):
+        for sim, vid in sorted(best[qid], key=lambda t: (-t[0], t[1]))[:k]:
+            rows_out.append((qid, vid, round(sim, 6)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows_out], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows_out], pa.int64()),
+            "sim": pa.array([r[2] for r in rows_out], pa.float64()),
+        }
+    )
+
+
 def ivf_topk(
     embeddings: Dataset,
     query_ids: list[int],
@@ -323,12 +434,16 @@ def ivf_topk(
     seed: int = 7,
     kmeans_iters: int = 8,
     train_sample: int = 2048,
+    stats: dict | None = None,
 ) -> pa.Table:
     """IVF (inverted-file) ANN: a k-means coarse quantizer (trained on a
     driver-side sample, broadcast) assigns each vector to its nearest
-    centroid list; a query scans only its n_probe closest lists. The
-    other standard scale path next to LSH bucketing; recall-tested
-    against the brute-force baseline. Output schema matches ann_topk."""
+    centroid list; the listed dataset is materialized PARTITIONED by
+    list (static exchange) and a query probes only the partitions of its
+    n_probe closest lists (probed rows << total; ``stats`` reports the
+    counts). The other standard scale path next to LSH bucketing;
+    recall-tested against the brute-force baseline. Output schema
+    matches ann_topk."""
     sample = embeddings.take(train_sample)
     m = _normalize(np.stack([np.asarray(r["embedding"]) for r in sample]))
     rng = np.random.default_rng(seed)
@@ -362,52 +477,9 @@ def ivf_topk(
     for qi in range(len(qids)):
         for lst in probes[qi]:
             wanted.setdefault(int(lst), []).append(qi)
-    wref = ray.put((qids, qn, wanted))
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        import pyarrow.compute as pc
-
-        qids_, qn_, wanted_ = ray.get(wref)
-        rows = []
-        for lst, qis in wanted_.items():
-            sub = t.filter(pc.equal(t["ivf_list"], lst))
-            if not sub.num_rows:
-                continue
-            ids, mm = _unpack(sub)
-            sims = mm @ qn_.T  # blocks stored pre-normalized
-            for qi in qis:
-                qid = qids_[qi]
-                idx = np.nonzero(ids != qid)[0]
-                if not len(idx):
-                    continue
-                top = idx[np.argsort(-sims[idx, qi], kind="stable")[:k]]
-                rows.append(pd.DataFrame(
-                    {"query_id": qid, "vec_id": ids[top], "sim": sims[top, qi]}
-                ))
-        if not rows:
-            return pd.DataFrame(
-                {"query_id": np.empty(0, np.int64),
-                 "vec_id": np.empty(0, np.int64),
-                 "sim": np.empty(0, np.float64)}
-            )
-        return pd.concat(rows, ignore_index=True)
-
-    parts = listed.map_batches(partial, batch_format="pyarrow").take_all()
-    best: dict[int, list[tuple[float, int]]] = {}
-    for r in parts:
-        best.setdefault(int(r["query_id"]), []).append(
-            (float(r["sim"]), int(r["vec_id"]))
-        )
-    rows_out = []
-    for qid in sorted(best):
-        for sim, vid in sorted(best[qid], key=lambda t: (-t[0], t[1]))[:k]:
-            rows_out.append((qid, vid, round(sim, 6)))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows_out], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows_out], pa.int64()),
-            "sim": pa.array([r[2] for r in rows_out], pa.float64()),
-        }
+    return _probe_partitioned(
+        listed, "ivf_list", wanted, qids, qn, k, stats=stats
     )
 
 
@@ -417,87 +489,44 @@ def lsh_bucket_topk(
     k: int = 10,
     n_bits: int = 8,
     seed: int = 42,
+    stats: dict | None = None,
 ) -> pa.Table:
     """Scale-path ANN: sign-random-projection bucketing (n_bits hyper-
-    planes -> 2^n_bits buckets), queries scan only rows whose bucket is
-    within hamming distance 1 of the query bucket. Probabilistic recall
-    (tested vs brute force); same output schema as ann_topk."""
-    sample = embeddings.take(1)
-    dim = len(sample[0]["embedding"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bits))
-    pref = ray.put(planes)
+    planes -> 2^n_bits buckets); the bucketed dataset is materialized
+    PARTITIONED by bucket hash (static exchange) and queries probe only
+    the partitions holding their bucket or a hamming-1 neighbor
+    (probed rows << total; ``stats`` reports the counts). Probabilistic
+    recall (tested vs brute force); same output schema as ann_topk.
+
+    The hyperplanes are regenerated per task from the fixed seed and the
+    embedding width (deterministic PCG64), so there is no take(1) dim
+    probe: the query-matrix pass (which every ANN query already runs) is
+    the only pipeline-prefix read."""
+
+    def _planes(dim: int) -> np.ndarray:
+        return np.random.default_rng(seed).standard_normal((dim, n_bits))
 
     def bucket_of(m: np.ndarray, planes_: np.ndarray) -> np.ndarray:
         bits = (m @ planes_) > 0
         return (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
-        planes_ = ray.get(pref)
         ids, m = _batch_matrix(df)
         mn = _normalize(m)
-        return _pack(ids, mn, {"bucket": bucket_of(mn, planes_)})
+        return _pack(ids, mn, {"bucket": bucket_of(mn, _planes(m.shape[1]))})
 
     bucketed = embeddings.map_batches(add_bucket, batch_format="pandas")
 
     qids, qm = _query_matrix(embeddings, query_ids)
     qn = _normalize(qm)
-    qb = bucket_of(qn, planes)
+    qb = bucket_of(qn, _planes(qm.shape[1]))
     # query bucket + all hamming-1 neighbors
     wanted: dict[int, list[int]] = {}
     for qi, b in enumerate(qb):
         bs = [int(b)] + [int(b) ^ (1 << i) for i in range(n_bits)]
         for bb in bs:
             wanted.setdefault(bb, []).append(qi)
-    wref = ray.put((qids, qn, wanted))
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        import pyarrow.compute as pc
-
-        qids_, qn_, wanted_ = ray.get(wref)
-        rows = []
-        for bb, qis in wanted_.items():
-            sub = t.filter(pc.equal(t["bucket"], bb))
-            if not sub.num_rows:
-                continue
-            ids, m = _unpack(sub)
-            sims = m @ qn_.T  # blocks stored pre-normalized
-            for qi in qis:
-                qid = qids_[qi]
-                mask = ids != qid
-                idx = np.nonzero(mask)[0]
-                if not len(idx):
-                    continue
-                top = idx[np.argsort(-sims[idx, qi], kind="stable")[:k]]
-                rows.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "vec_id": ids[top],
-                         "sim": sims[top, qi]}
-                    )
-                )
-        if not rows:
-            return pd.DataFrame(
-                {"query_id": np.empty(0, np.int64),
-                 "vec_id": np.empty(0, np.int64),
-                 "sim": np.empty(0, np.float64)}
-            )
-        return pd.concat(rows, ignore_index=True)
-
-    parts = bucketed.map_batches(partial, batch_format="pyarrow").take_all()
-    best: dict[int, list[tuple[float, int]]] = {}
-    for r in parts:
-        best.setdefault(int(r["query_id"]), []).append(
-            (float(r["sim"]), int(r["vec_id"]))
-        )
-    rows_out = []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1]))[:k]
-        for sim, vid in ranked:
-            rows_out.append((qid, vid, round(sim, 6)))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows_out], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows_out], pa.int64()),
-            "sim": pa.array([r[2] for r in rows_out], pa.float64()),
-        }
+    return _probe_partitioned(
+        bucketed, "bucket", wanted, qids, qn, k, stats=stats
     )

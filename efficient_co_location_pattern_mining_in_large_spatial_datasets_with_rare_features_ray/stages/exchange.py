@@ -65,15 +65,23 @@ def _split_by_key(t, key: str, n: int):
 
 
 @ray.remote
-def _apply_group(fn: Callable[[pa.Table], pa.Table], *slices) -> pa.Table:
+def _apply_group(
+    fn: Callable[[pa.Table], pa.Table], empty_schema, *slices
+) -> pa.Table:
     parts = [s for s in slices if s is not None and s.num_rows]
     if not parts:
-        # all-empty bucket: a zero-row slice keeps the input schema; if
-        # every input block was a schema-less empty pass-through, mirror
-        # Ray's own empty-block behavior (column-less empty table)
+        # all-empty bucket: a zero-row slice keeps the input schema, and
+        # fn must map an empty input to its correctly-typed empty output
+        # (the documented contract). If every input block was a
+        # schema-less empty pass-through, return the caller-declared
+        # output schema -- or, absent one, mirror Ray's own empty-block
+        # behavior (column-less empty table).
         parts = [s for s in slices if s is not None][:1]
         if not parts:
-            return pa.table({})
+            return (
+                empty_schema.empty_table() if empty_schema is not None
+                else pa.table({})
+            )
     return fn(pa.concat_tables(parts).combine_chunks())
 
 
@@ -82,12 +90,17 @@ def static_group_exchange(
     key: str,
     n_parts: int,
     fn: Callable[[pa.Table], pa.Table],
+    empty_schema: pa.Schema | None = None,
 ) -> Dataset:
     """``ds.groupby(key).map_groups(fn)`` semantics for an int bucket
     column ``key`` with values in ``[0, n_parts)``, executed as a static
     split exchange (see module docstring). ``fn`` receives one Arrow
-    table per bucket (all rows of that bucket, possibly zero) and must
-    return an Arrow table."""
+    table per bucket (all rows of that bucket, POSSIBLY ZERO-ROW --
+    unlike groupby().map_groups, empty buckets do invoke fn, which must
+    map an empty input to its correctly-typed empty output). When every
+    upstream block lacked the key column entirely (schema-less empty
+    pass-throughs), the bucket output is ``empty_schema.empty_table()``
+    if given, else a column-less empty table."""
     refs = ds.materialize().to_arrow_refs()
     if not refs:
         raise ValueError("static exchange over an empty dataset")
@@ -99,7 +112,9 @@ def static_group_exchange(
         grids = [[g] for g in grids]
     fn_ref = ray.put(fn)
     tasks = [
-        _apply_group.remote(fn_ref, *[grids[b][i] for b in range(len(grids))])
+        _apply_group.remote(
+            fn_ref, empty_schema, *[grids[b][i] for b in range(len(grids))]
+        )
         for i in range(n_parts)
     ]
     import ray.data as rd

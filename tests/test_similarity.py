@@ -129,3 +129,27 @@ def test_ivf_topk_recall_vs_bruteforce(emb_ds, emb_df):
         # clustered embeddings -> the query's cluster list holds its
         # neighbors; probing 3 of 8 lists should recover most of top-10
         assert recall >= 0.7, (q, recall)
+
+
+def test_partitioned_probe_reads_fraction(emb_ds, emb_df):
+    """The bucket-partitioned ANN layout must probe far fewer rows than
+    the dataset holds (the point of materializing by bucket), for both
+    the LSH and the IVF paths, without changing the results."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.similarity import (
+        ivf_topk,
+    )
+
+    qids = [0, 5, 11]
+    st: dict = {}
+    out = lsh_bucket_topk(emb_ds, qids, k=5, stats=st)
+    assert out.num_rows > 0
+    assert st["total_rows"] == len(emb_df)
+    assert 0 < st["probed_rows"] < st["total_rows"]
+    assert st["partitions_read"] <= st["partitions_total"]
+
+    st2: dict = {}
+    out2 = ivf_topk(emb_ds, qids, k=5, n_lists=16, n_probe=2, stats=st2)
+    assert out2.num_rows > 0
+    assert st2["total_rows"] == len(emb_df)
+    # n_probe=2 of 16 lists -> a small fraction of rows scanned
+    assert 0 < st2["probed_rows"] < st2["total_rows"] / 2

@@ -203,3 +203,24 @@ def test_simhash_pipeline_deterministic(ray_session):
     a = sorted((r["doc_id"], r["simhash"]) for r in simhash_signatures(docs_ds(rows)).take_all())
     b = sorted((r["doc_id"], r["simhash"]) for r in simhash_signatures(docs_ds(rows)).take_all())
     assert a == b
+
+
+def test_sharded_candidate_broadcast_millions(ray_session):
+    """A forced >10^6-candidate id set must broadcast as MULTIPLE shard
+    objects (no single all-candidates object) and filter exactly."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.dedup import (
+        filter_to_candidates,
+        shard_candidate_ids,
+    )
+
+    rng = np.random.default_rng(1)
+    needed = np.unique(rng.integers(0, 10_000_000, size=1_200_000))
+    n_sh, refs = shard_candidate_ids(needed)
+    assert n_sh >= 2 and len(refs) == n_sh
+    probe = rng.integers(0, 10_000_000, size=50_000)
+    got = filter_to_candidates(probe, n_sh, refs)
+    want = np.isin(probe, needed)
+    assert np.array_equal(got, want)
+    # empty set round-trips
+    n0, r0 = shard_candidate_ids(np.empty(0, np.int64))
+    assert not filter_to_candidates(probe[:10], n0, r0).any()

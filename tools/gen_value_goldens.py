@@ -22,7 +22,21 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def to_values_sql(t, float_cols: set[str]) -> str:
+def input_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings input the golden is valid
+    for: row count + rounded sum over every embedding value (row count
+    alone cannot distinguish scale factors -- sf0.001 and sf0.01 both
+    carry 500 vectors)."""
+    import duckdb
+
+    n, s = duckdb.sql(
+        "SELECT count(*), round(sum(list_aggregate(embedding, 'sum')), 3) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()
+    return f"{n}:{s}"
+
+
+def to_values_sql(t, float_cols: set[str], fp: str) -> str:
     cols = t.column_names
     lines = []
     for row in t.to_pylist():
@@ -35,10 +49,22 @@ def to_values_sql(t, float_cols: set[str]) -> str:
                 vals.append(repr(v))
         lines.append("  (" + ", ".join(vals) + ")")
     collist = ", ".join(cols)
+    n, s = fp.split(":")
+    # guard: the golden is ONLY a valid oracle for the exact input it was
+    # generated from. On any other input the SQL yields a single loud
+    # sentinel row instead of silently comparing against the wrong oracle.
     return (
         "-- committed golden (deterministic fixed-seed output at sf0.01);\n"
         "-- regenerate with tools/gen_value_goldens.py\n"
-        f"SELECT * FROM (VALUES\n" + ",\n".join(lines) + f"\n) AS t({collist})"
+        f"-- input-fingerprint {fp}\n"
+        "WITH fp AS (SELECT count(*) = " + n
+        + " AND round(sum(list_aggregate(embedding, 'sum')), 3) = " + s
+        + " AS ok FROM embeddings)\n"
+        f"SELECT * FROM (VALUES\n" + ",\n".join(lines) + f"\n) AS t({collist})\n"
+        "WHERE (SELECT ok FROM fp)\n"
+        "UNION ALL\n"
+        f"SELECT {', '.join('-999999' for _ in cols)}\n"
+        "WHERE NOT (SELECT ok FROM fp)  -- GOLDEN_INPUT_MISMATCH sentinel"
     )
 
 
@@ -55,12 +81,13 @@ def main() -> None:
         queries as q,
     )
 
+    fp = input_fingerprint(SF_DIR)
     for name, fn in (
         ("ann_topk_lsh", q.q_ann_topk_lsh),
         ("ann_topk_ivf", q.q_ann_topk_ivf),
     ):
         t = fn(SF_DIR)
-        sql = to_values_sql(t, float_cols={"sim"})
+        sql = to_values_sql(t, float_cols={"sim"}, fp=fp)
         out = os.path.join(REPO, "goldens", f"{name}_sf001.sql")
         with open(out, "w") as f:
             f.write(sql)
