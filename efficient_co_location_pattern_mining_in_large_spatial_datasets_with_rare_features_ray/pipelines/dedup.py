@@ -31,6 +31,34 @@ from ..functions.dedup import (
     simhash64_batch,
 )
 from ..functions.text import char_shingles_str
+from ..stages.exchange import static_group_exchange
+
+
+def _exchange_pandas(
+    ds: Dataset, key: str, n_parts: int, fn, schema: pa.Schema
+) -> Dataset:
+    """Run a pandas group function over the static bucket exchange (the
+    skew-proof ``groupby(int key).map_groups`` replacement -- no sort,
+    no boundary sampling, and typed empty outputs instead of the
+    schema-less empty pandas blocks Ray's map_groups emits for sorted
+    blocks holding zero groups). ``fn`` gets ALL rows of one bucket and
+    must handle the empty frame; its output is cast to ``schema``."""
+
+    def apply(t: pa.Table) -> pa.Table:
+        out = fn(t.to_pandas())
+        if not len(out):
+            return schema.empty_table()
+        cols = [
+            pa.array(out[f.name].to_numpy(), type=f.type)
+            if not pa.types.is_nested(f.type)
+            else pa.array(list(out[f.name]), type=f.type)
+            for f in schema
+        ]
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    return static_group_exchange(
+        ds, key, n_parts, apply, empty_schema=schema, drop_empty=True
+    )
 
 
 def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
@@ -55,10 +83,10 @@ def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
         out = g.agg(["min", "size"]).reset_index(drop=True)
         return out.rename(columns={"min": "doc_id", "size": "n_copies"})
 
-    return (
-        docs.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    return _exchange_pandas(
+        docs.map_batches(add_bucket, batch_format="pandas"),
+        "bucket", n_buckets, per_bucket,
+        pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())]),
     )
 
 
@@ -114,14 +142,17 @@ def minhash_candidates(docs: Dataset, n_buckets: int = 64) -> Dataset:
     rows = minhash_band_rows(docs)
     rows = rows.map_batches(
         lambda df: df.assign(
-            bb=(df["band_hash"].to_numpy(np.int64) % n_buckets
-                + df["band"].to_numpy(np.int64) * n_buckets)
+            bb=(df["band"].to_numpy(np.int64) * 1000003
+                + df["band_hash"].to_numpy(np.int64)) % n_buckets
         ),
         batch_format="pandas",
     )
     # pairs may still repeat across bands; minhash_verified_pairs dedupes
     # them in its first pair-bucket shuffle
-    return rows.groupby("bb").map_groups(pairs_in_bucket, batch_format="pandas")
+    return _exchange_pandas(
+        rows, "bb", n_buckets, pairs_in_bucket,
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
 
 
 ID_SHARD_MAX = 1_000_000  # candidate ids per broadcast shard
@@ -200,17 +231,16 @@ def minhash_verified_pairs(
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
         return df.drop_duplicates(["a", "b"])[["a", "b"]]
 
-    cand = (
-        minhash_candidates(docs, n_buckets=n_buckets)
-        .map_batches(
+    cand = _exchange_pandas(
+        minhash_candidates(docs, n_buckets=n_buckets).map_batches(
             lambda df: df.assign(
                 pb=(df["a"].to_numpy(np.int64) * 1000003
                     + df["b"].to_numpy(np.int64)) % n_buckets
             ),
             batch_format="pandas",
-        )
-        .groupby("pb")
-        .map_groups(dedupe, batch_format="pandas")
+        ),
+        "pb", n_buckets, dedupe,
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     )
 
     def to_roles(df: pd.DataFrame) -> pd.DataFrame:
@@ -314,14 +344,16 @@ def minhash_verified_pairs(
             }
         )
 
-    with_sh = (
-        roles.union(texts)
-        .map_batches(
+    with_sh = _exchange_pandas(
+        roles.union(texts).map_batches(
             lambda df: df.assign(db=df["doc_id"].to_numpy(np.int64) % n_buckets),
             batch_format="pandas",
-        )
-        .groupby("db")
-        .map_groups(attach, batch_format="pandas")
+        ),
+        "db", n_buckets, attach,
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("doc_id", pa.int64()),
+             ("sh", pa.list_(pa.int64()))]
+        ),
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -351,16 +383,22 @@ def minhash_verified_pairs(
              "jaccard": np.asarray(jv, np.float64)}
         )
 
-    return (
-        with_sh.map_batches(
-            lambda df: df.assign(
-                pb2=(df["a"].to_numpy(np.int64) * 1000003
-                     + df["b"].to_numpy(np.int64)) % n_buckets
-            ),
-            batch_format="pandas",
+    def add_pb2(t: pa.Table) -> pa.Table:
+        # arrow-native: the sh list column must not round-trip through
+        # pandas (Ray re-converts ndarray columns to its tensor
+        # extension, which then can't concat with list<int64> slices)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "pb2", pa.array((a * 1000003 + b) % n_buckets, pa.int64())
         )
-        .groupby("pb2")
-        .map_groups(verify, batch_format="pandas")
+
+    return _exchange_pandas(
+        with_sh.map_batches(add_pb2, batch_format="pyarrow"),
+        "pb2", n_buckets, verify,
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ),
     )
 
 

@@ -243,8 +243,18 @@ def lsh_neardup_pairs(
     The projection planes are regenerated per task from the fixed seed
     and the batch's own embedding width (deterministic PCG64 stream, a
     few KB of work) instead of a take(1) dim probe + broadcast: one
-    fewer pipeline-prefix read job per query and nothing to ship."""
+    fewer pipeline-prefix read job per query and nothing to ship.
+
+    Both group stages run on the static bucket exchange rather than
+    Ray's sort-based groupby: the key spaces are small (band buckets,
+    32 pair buckets), so boundary-sampling sort machinery is pure
+    overhead here, and the exchange's typed-empty contract keeps
+    schema-less empty pandas blocks out of the stream (Ray's map_groups
+    emits one for every sorted block that holds zero groups)."""
+    from ..stages.exchange import static_group_exchange
+
     _pair_buckets = 32
+    _exch_parts = 32  # band-bucket hash partitions for the verify stage
 
     def add_band_buckets(df: pd.DataFrame) -> pa.Table:
         ids, m = _batch_matrix(df)
@@ -262,46 +272,75 @@ def lsh_neardup_pairs(
             ) | (seg * weights).sum(axis=1)
         rep_ids = np.repeat(ids, n_bands)
         rep_m = np.repeat(mn, n_bands, axis=0)
-        return _pack(rep_ids, rep_m, {"bkey": bkeys.ravel()})
+        flat = bkeys.ravel()
+        # Fibonacci-mix the band key into a dense exchange partition so
+        # partitions stay balanced whatever (band, bucket) layout is
+        bpart = (
+            (flat * np.int64(-7046029254386353131)) >> np.int64(33)
+        ) % np.int64(_exch_parts)
+        return _pack(rep_ids, rep_m, {"bkey": flat, "bpart": bpart})
 
-    def verify_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64()),
-             "pb": pa.array([], pa.int64())}
-        )
+    _pairs_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64()),
+         ("pb", pa.int64())]
+    )
+
+    def verify_partition(t: pa.Table) -> pa.Table:
+        """One exchange partition = many whole band buckets; verify each
+        bucket's pairs with a dense sim matrix over just that bucket."""
         if t.num_rows < 2:
-            return empty
-        ids, m = _unpack(t)
-        sims = m @ m.T  # rows arrive pre-normalized
-        sel = (sims >= tau) & (ids[:, None] < ids[None, :])
-        ii, jj = np.nonzero(sel)
-        if not len(ii):
-            return empty
-        a = ids[ii]
-        b = ids[jj]
+            return _pairs_schema.empty_table()
+        order = np.argsort(t["bkey"].to_numpy(), kind="stable")
+        t = t.take(pa.array(order))
+        keys = t["bkey"].to_numpy()
+        ids_all, m_all = _unpack(t)
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(keys)]))
+        outs_a, outs_b, outs_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids, m = ids_all[s:e], m_all[s:e]
+            sims = m @ m.T  # rows arrive pre-normalized
+            sel = (sims >= tau) & (ids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(sel)
+            if not len(ii):
+                continue
+            outs_a.append(ids[ii])
+            outs_b.append(ids[jj])
+            outs_s.append(np.round(sims[ii, jj], 6))
+        if not outs_a:
+            return _pairs_schema.empty_table()
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
         return pa.table(
             {
                 "a": pa.array(a, pa.int64()),
                 "b": pa.array(b, pa.int64()),
-                "sim": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+                "sim": pa.array(np.concatenate(outs_s), pa.float64()),
                 "pb": pa.array(
                     (a * np.int64(1000003) + b) % _pair_buckets, pa.int64()
                 ),
             }
         )
 
-    def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["a", "b"])[["a", "b", "sim"]]
+    def dedupe_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["a", "b"])[["a", "b", "sim"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = (
-        embeddings.map_batches(add_band_buckets, batch_format="pandas")
-        .groupby("bkey")
-        .map_groups(verify_bucket, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedupe_pairs, batch_format="pandas")
-        .to_pandas()
+    verified = static_group_exchange(
+        embeddings.map_batches(add_band_buckets, batch_format="pandas"),
+        "bpart", _exch_parts, verify_partition,
+        empty_schema=_pairs_schema, drop_empty=True,
     )
+    out = static_group_exchange(
+        verified, "pb", _pair_buckets, dedupe_partition,
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64())]
+        ),
+        drop_empty=True,
+    ).to_pandas()
     if not len(out):
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

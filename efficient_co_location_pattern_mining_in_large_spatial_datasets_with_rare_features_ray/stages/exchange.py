@@ -64,9 +64,8 @@ def _split_by_key(t, key: str, n: int):
     return tuple(outs) if n > 1 else outs[0]
 
 
-@ray.remote
-def _apply_group(
-    fn: Callable[[pa.Table], pa.Table], empty_schema, *slices
+def _run_group(
+    fn: Callable[[pa.Table], pa.Table], empty_schema, slices
 ) -> pa.Table:
     parts = [s for s in slices if s is not None and s.num_rows]
     if not parts:
@@ -85,12 +84,28 @@ def _apply_group(
     return fn(pa.concat_tables(parts).combine_chunks())
 
 
+@ray.remote
+def _apply_group(
+    fn: Callable[[pa.Table], pa.Table], empty_schema, *slices
+) -> pa.Table:
+    return _run_group(fn, empty_schema, slices)
+
+
+@ray.remote(num_returns=2)
+def _apply_group_counted(
+    fn: Callable[[pa.Table], pa.Table], empty_schema, *slices
+):
+    t = _run_group(fn, empty_schema, slices)
+    return t, t.num_rows
+
+
 def static_group_exchange(
     ds: Dataset,
     key: str,
     n_parts: int,
     fn: Callable[[pa.Table], pa.Table],
     empty_schema: pa.Schema | None = None,
+    drop_empty: bool = False,
 ) -> Dataset:
     """``ds.groupby(key).map_groups(fn)`` semantics for an int bucket
     column ``key`` with values in ``[0, n_parts)``, executed as a static
@@ -100,7 +115,15 @@ def static_group_exchange(
     map an empty input to its correctly-typed empty output). When every
     upstream block lacked the key column entirely (schema-less empty
     pass-throughs), the bucket output is ``empty_schema.empty_table()``
-    if given, else a column-less empty table."""
+    if given, else a column-less empty table.
+
+    ``drop_empty=True`` removes zero-row bucket outputs from the result
+    Dataset (each group task returns its row count as a second object,
+    so no extra task wave): downstream stages see no empty blocks at
+    all -- no pass-through schema-mix warnings, no wasted tasks. It
+    BARRIERS on all group tasks finishing, so keep it off in
+    latency-critical chains that want the next stage to start on the
+    first finished bucket."""
     refs = ds.materialize().to_arrow_refs()
     if not refs:
         raise ValueError("static exchange over an empty dataset")
@@ -111,12 +134,25 @@ def static_group_exchange(
     if n_parts == 1:  # num_returns=1 yields a bare ref
         grids = [[g] for g in grids]
     fn_ref = ray.put(fn)
+    import ray.data as rd
+
+    if drop_empty:
+        outs = [
+            _apply_group_counted.remote(
+                fn_ref, empty_schema, *[grids[b][i] for b in range(len(grids))]
+            )
+            for i in range(n_parts)
+        ]
+        counts = ray.get([c for _, c in outs])
+        tasks = [t for (t, _), n in zip(outs, counts) if n > 0]
+        if not tasks:  # keep one typed empty block so the result has a schema
+            tasks = [outs[0][0]]
+        return rd.from_arrow_refs(tasks)
+
     tasks = [
         _apply_group.remote(
             fn_ref, empty_schema, *[grids[b][i] for b in range(len(grids))]
         )
         for i in range(n_parts)
     ]
-    import ray.data as rd
-
     return rd.from_arrow_refs(tasks)
