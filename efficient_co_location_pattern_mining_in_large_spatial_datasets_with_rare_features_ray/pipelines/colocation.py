@@ -232,6 +232,14 @@ def mine_coordinated(
 
     cfg = cfg or MiningConfig()
     t0 = time.perf_counter()
+    import os as _os
+
+    _timing = _os.environ.get("CLPM_TASK_TIMING")
+
+    def _milestone(label: str) -> None:
+        if _timing:
+            print(f"SALTED {label} {time.perf_counter() - t0:.3f}", flush=True)
+
     origin = cfg.grid_origin
     # dictionary-encode instance ids to dense global int64 codes (the
     # whole sharded path then runs on vectorized int64 ops instead of
@@ -282,6 +290,7 @@ def mine_coordinated(
             cfg.resolved_star_buckets(n_rows=int(sum(ctx.counts.values()))),
         )
 
+    _milestone("encode_done")
     try:
         if use_checkpoint:
             if not is_complete(stage_dir, fingerprint):
@@ -291,19 +300,23 @@ def mine_coordinated(
                 )
             ray.get([a.load.remote(stage_dir) for a in actors])
         else:
-            # in-memory: skip the parquet round trip. One parallel pass
-            # splits each star block by shard (num_returns objects), then
-            # every actor fetches only its own slices.
-            from ..stages.sharded import split_block
+            # in-memory: skip the parquet round trip. The star-bucket
+            # exchange tasks split their own output by shard
+            # (num_returns=n_shards), so each actor fetches exactly its
+            # rows -- no intermediate star Dataset, no split-task wave.
+            from ..stages.sharded import build_shard_star_grid
 
-            refs = build_stars_ds().materialize().to_arrow_refs()
-            grids = [
-                split_block.options(num_returns=n_shards).remote(r, n_shards)
-                for r in refs
-            ]
-            if n_shards == 1:  # num_returns=1 yields a bare ref
-                grids = [[g] for g in grids]
-            ray.get(
+            if origin is None:
+                origin = global_origin(instances)
+            pairs = neighbor_pairs(instances, cfg, origin=origin)
+            grids = build_shard_star_grid(
+                pairs, ctx, n_shards,
+                cfg.resolved_star_buckets(
+                    n_rows=int(sum(ctx.counts.values()))
+                ),
+            )
+            _milestone("stars_submitted")
+            load_stats = ray.get(
                 [
                     a.load_split.remote(
                         [grids[b][s] for b in range(len(grids)) for s in shards]
@@ -311,9 +324,21 @@ def mine_coordinated(
                     for a, shards in zip(actors, owned)
                 ]
             )
+            if _timing:
+                fs = sorted(s["fetch_s"] for s in load_stats)
+                bs = sorted(s["build_s"] for s in load_stats)
+                print(
+                    f"SALTED load_split fetch_max={fs[-1]} "
+                    f"fetch_med={fs[len(fs)//2]} build_max={bs[-1]} "
+                    f"build_med={bs[len(bs)//2]} "
+                    f"rows={sum(s['rows'] for s in load_stats)}",
+                    flush=True,
+                )
+        _milestone("load_done")
         recs = coordinated_level_loop(
             actors, ctx, cfg.min_prevalence, cfg.use_lemma3, cfg.measure
         )
+        _milestone("loop_done")
     finally:
         for a in actors:
             ray.kill(a)

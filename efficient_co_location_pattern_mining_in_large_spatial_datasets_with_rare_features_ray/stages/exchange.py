@@ -45,7 +45,12 @@ def _split_by_key(t, key: str, n: int):
     buckets so every downstream task sees the input schema. Ray emits
     EMPTY upstream blocks untransformed (the producing UDF never runs),
     so a block may lack the key column entirely -> all-None row."""
+    import os
+    import time as _time
+
     import pandas as pd
+
+    _t0 = _time.perf_counter()
 
     if isinstance(t, pd.DataFrame):  # defensive: upstream pandas block
         t = pa.Table.from_pandas(t, preserve_index=False)
@@ -61,6 +66,12 @@ def _split_by_key(t, key: str, n: int):
         t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
         for i in range(n)
     ]
+    if os.environ.get("CLPM_TASK_TIMING"):
+        print(
+            f"SPLITTASK rows={t.num_rows} s={_time.perf_counter() - _t0:.2f} "
+            f"at={_time.time() % 1000:.1f}",
+            flush=True,
+        )
     return tuple(outs) if n > 1 else outs[0]
 
 
@@ -156,3 +167,83 @@ def static_group_exchange(
         for i in range(n_parts)
     ]
     return rd.from_arrow_refs(tasks)
+
+
+def _split_table(t: pa.Table, key: str, n: int) -> tuple:
+    """Sort-and-slice one table into n zero-copy sub-tables by its int
+    key column (values in [0, n)) -- the local core of _split_by_key."""
+    codes = t[key].to_numpy(zero_copy_only=False)
+    if len(codes) > 1 and not np.all(codes[1:] >= codes[:-1]):
+        order = np.argsort(codes, kind="stable")
+        t = t.take(pa.array(order))
+        codes = codes[order]
+    bounds = np.searchsorted(codes, np.arange(n + 1))
+    return tuple(
+        t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(n)
+    )
+
+
+@ray.remote
+def _apply_group_split(
+    fn, empty_schema, out_key: str, n_out: int, *slices
+):
+    import os
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    t = _run_group(fn, empty_schema, slices)
+    _t1 = _time.perf_counter()
+    if n_out == 1:
+        return t
+    if out_key not in t.column_names:  # schema-less empty pass-through
+        empty = (
+            empty_schema.empty_table() if empty_schema is not None
+            else pa.table({})
+        )
+        return tuple(empty for _ in range(n_out))
+    out = _split_table(t, out_key, n_out)
+    if os.environ.get("CLPM_TASK_TIMING"):
+        print(
+            f"GROUPTASK rows={t.num_rows} fn_s={_t1 - _t0:.2f} "
+            f"split_s={_time.perf_counter() - _t1:.2f} at={_time.time() % 1000:.1f}",
+            flush=True,
+        )
+    return out
+
+
+def static_group_exchange_split(
+    ds: Dataset,
+    key: str,
+    n_parts: int,
+    fn: Callable[[pa.Table], pa.Table],
+    out_key: str,
+    n_out: int,
+    empty_schema: pa.Schema | None = None,
+) -> list[list["ray.ObjectRef"]]:
+    """``static_group_exchange`` fused with a split of each group's
+    OUTPUT by ``out_key`` (int values in [0, n_out)): every group task
+    returns ``n_out`` zero-copy sub-tables via ``num_returns``, so a
+    downstream owner of one ``out_key`` range fetches exactly its rows.
+    Returns ``grid[bucket][out]`` object refs (not a Dataset) -- one
+    task wave and one plasma round trip fewer than exchanging into a
+    Dataset and re-splitting it (measured: the separate split wave cost
+    seconds of scheduling + full-table object churn per mining job)."""
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        raise ValueError("static exchange over an empty dataset")
+    grids = [
+        _split_by_key.options(num_returns=n_parts).remote(r, key, n_parts)
+        for r in refs
+    ]
+    if n_parts == 1:
+        grids = [[g] for g in grids]
+    fn_ref = ray.put(fn)
+    out = [
+        _apply_group_split.options(num_returns=n_out if n_out > 1 else 1).remote(
+            fn_ref, empty_schema, out_key, n_out,
+            *[grids[b][i] for b in range(len(grids))],
+        )
+        for i in range(n_parts)
+    ]
+    return [[g] if n_out == 1 else list(g) for g in out]

@@ -216,14 +216,9 @@ def directed_keyed_edges_sharded(
     return pairs.map_batches(fn, batch_format="pandas")
 
 
-def build_shard_stars(
-    pairs: Dataset, ctx: FeatureContext, n_shards: int, n_buckets: int = 128
-) -> Dataset:
-    """Star rows exploded per target shard (SHARD_STAR_SCHEMA). The
-    bucket exchange is the static split (stages/exchange.py), not a
-    sort-based groupby -- same degenerate-key-space reasoning as
-    stages/stars.build_stars."""
-    edges = directed_keyed_edges_sharded(pairs, ctx, n_buckets)
+def _per_bucket_shard_stars(ctx: FeatureContext, n_shards: int):
+    """Group function for the star-bucket exchange: star lists + target
+    shards for one bucket's directed edges (SHARD_STAR_SCHEMA rows)."""
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         star = df[df["kind"] == 0]
@@ -257,10 +252,40 @@ def build_shard_stars(
             schema=SHARD_STAR_SCHEMA,
         )
 
+    return lambda t: per_bucket(t.to_pandas())
+
+
+def build_shard_stars(
+    pairs: Dataset, ctx: FeatureContext, n_shards: int, n_buckets: int = 128
+) -> Dataset:
+    """Star rows exploded per target shard (SHARD_STAR_SCHEMA). The
+    bucket exchange is the static split (stages/exchange.py), not a
+    sort-based groupby -- same degenerate-key-space reasoning as
+    stages/stars.build_stars."""
     from .exchange import static_group_exchange
 
+    edges = directed_keyed_edges_sharded(pairs, ctx, n_buckets)
     return static_group_exchange(
-        edges, "bucket", n_buckets, lambda t: per_bucket(t.to_pandas())
+        edges, "bucket", n_buckets, _per_bucket_shard_stars(ctx, n_shards),
+        empty_schema=SHARD_STAR_SCHEMA,
+    )
+
+
+def build_shard_star_grid(
+    pairs: Dataset, ctx: FeatureContext, n_shards: int, n_buckets: int = 128
+) -> list[list]:
+    """In-memory fast path of build_shard_stars: the star-bucket group
+    tasks split their own output by shard (``num_returns=n_shards``), so
+    each ShardMiner fetches exactly its rows -- no intermediate star
+    Dataset, no separate split_block wave. Returns grid[bucket][shard]
+    object refs. The parquet-checkpoint path keeps build_shard_stars."""
+    from .exchange import static_group_exchange_split
+
+    edges = directed_keyed_edges_sharded(pairs, ctx, n_buckets)
+    fn = _per_bucket_shard_stars(ctx, n_shards)
+    return static_group_exchange_split(
+        edges, "bucket", n_buckets, fn, "shard", n_shards,
+        empty_schema=SHARD_STAR_SCHEMA,
     )
 
 
@@ -281,6 +306,27 @@ class ShardMiner:
         self.n_shards = n_shards
         self.index: dict[tuple[int, str], np.ndarray] = {}
         self.tables: dict[tuple[str, ...], np.ndarray] = {}
+        import os
+
+        if os.environ.get("CLPM_MEMTUNE"):
+            # Fresh actor process: pre-fault a slice of allocator arena
+            # NOW, while actor creation overlaps the star-build Dataset
+            # job. This host services first-touch page faults at
+            # 50-100us per 4 KiB page (see memtune.py); without this the
+            # first _build/expand pays seconds of kernel time that the
+            # long-lived workers of a real cluster never see (the bench
+            # warmup wave only reaches Ray's task workers, not actors).
+            # Sized to the actor's share of the data (32 MB per owned
+            # shard, 128 MB floor, 1 GB cap): the VMM services faults
+            # with limited concurrency, so over-warming N actors
+            # serializes into tens of seconds of wall -- worse than
+            # faulting lazily -- while under-warming re-exposes the
+            # fault cost inside the first _build/expand.
+            n_words = min(max(16_000_000, 4_000_000 * len(self.shards)),
+                          128_000_000)
+            buf = np.empty(n_words, np.int64)
+            buf.fill(1)
+            del buf
 
     def load(self, star_dir: str) -> int:
         """Read this actor's shard partitions (parquet checkpoint path)."""
@@ -318,29 +364,40 @@ class ShardMiner:
             return 0
         return self._build(pa.concat_tables(kept))
 
-    def load_split(self, sub_refs: list) -> int:
+    def load_split(self, sub_refs: list) -> dict:
         """Load pre-split sub-tables (one per (block, owned shard)) --
         each actor fetches ONLY its own rows; the splitting pass ran
-        once, in parallel, over the blocks (split_block below)."""
+        once, in parallel, inside the star-exchange group tasks
+        (exchange.static_group_exchange_split)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         kept = [t for t in ray.get(list(sub_refs)) if t.num_rows]
+        _t1 = _time.perf_counter()
         if not kept:
-            return 0
-        return self._build(pa.concat_tables(kept))
+            return {"rows": 0, "fetch_s": round(_t1 - _t0, 3), "build_s": 0.0}
+        n = self._build(pa.concat_tables(kept))
+        return {
+            "rows": n,
+            "fetch_s": round(_t1 - _t0, 3),
+            "build_s": round(_time.perf_counter() - _t1, 3),
+        }
 
     def _build(self, t: pa.Table) -> int:
-        center_ids = t["center_id"].to_numpy(zero_copy_only=False)
-        center_feats = t["center_feature"].to_numpy(zero_copy_only=False)
-        nbr_feats = t["nbr_feature"].to_numpy(zero_copy_only=False)
-        col = t["nbr_ids"].combine_chunks()
-        return self._build_arrays(center_ids, center_feats, nbr_feats, col)
-
-    def _build_arrays(self, center_ids, center_feats, nbr_feats, col) -> int:
-        """Ids arrive as GLOBAL dense int64 codes (encode_instance_ids):
-        no per-actor interning -- the star index keys and neighbor arrays
-        use the codes directly (int32 in-memory; codes are dense so this
-        holds to 2^31 instances)."""
+        """Build the star index + T1 WITHOUT materializing Python string
+        arrays: both feature columns are Arrow-dictionary-encoded to int
+        codes (one C pass each), so the per-actor allocation churn is a
+        handful of int arrays -- on fault-expensive hosts the object-
+        string version spent tens of seconds in first-touch page faults
+        for ~1.4M PyObjects per column (see memtune.py)."""
         from ..mining_core import StarCSR
 
+        center_ids = t["center_id"].to_numpy(zero_copy_only=False)
+        cf = t["center_feature"].combine_chunks().dictionary_encode()
+        nf = t["nbr_feature"].combine_chunks().dictionary_encode()
+        nf_codes = nf.indices.to_numpy(zero_copy_only=False)
+        nf_uniq = np.asarray(nf.dictionary.to_pylist(), dtype=object)
+        col = t["nbr_ids"].combine_chunks()
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)
         offsets = col.offsets.to_numpy()
@@ -349,18 +406,24 @@ class ShardMiner:
         # per-feature CSR star index, one vectorized pass; duplicate
         # (center, nbr_feat) rows from multi-shard replication collapse
         # to their (identical) first copy inside from_rows
-        self.index = StarCSR.from_rows(cidx, nbr_feats, offsets, flat)
+        self.index = StarCSR.from_rows(cidx, (nf_codes, nf_uniq), offsets, flat)
         # T1: roots owned by this actor's shards, deduped + grouped by
-        # feature (vectorized -- one drop_duplicates, no python set pass)
+        # feature -- int-only (packed feat_code<<42 | center) unique pass
         root_mask = np.isin(
             shard_of(cidx, self.n_shards), np.asarray(self.shards, np.int32)
         )
-        roots = pd.DataFrame(
-            {"f": center_feats[root_mask], "c": cidx[root_mask]}
-        ).drop_duplicates()
+        cf_codes = cf.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique(
+            (cf_codes[root_mask] << np.int64(42)) | cidx[root_mask]
+        )
+        feat_of = packed >> np.int64(42)
+        cen = (packed & np.int64((1 << 42) - 1)).astype(np.int32)
+        bounds = np.searchsorted(feat_of, np.arange(len(cf.dictionary) + 1))
+        cf_uniq = cf.dictionary.to_pylist()
         self.tables = {
-            (f,): sub["c"].to_numpy(np.int32).reshape(-1, 1)
-            for f, sub in roots.groupby("f", sort=False)
+            (cf_uniq[f],): cen[bounds[f]: bounds[f + 1]].reshape(-1, 1)
+            for f in range(len(cf_uniq))
+            if bounds[f + 1] > bounds[f]
         }
         return int(len(cidx))
 
@@ -382,8 +445,24 @@ class ShardMiner:
         _t1 = _time.perf_counter()
         counts: dict[int, int] = {}
         root_dist: dict[int, int] = {}
-        packed_chunks: list[np.ndarray] = []
         cand_index = {c: j for j, c in enumerate(candidates)}
+        # per-(candidate, slot) np.unique: the slices are small and
+        # cache-resident, so ~10^4 tiny sorts beat one global sort over
+        # the concatenated packed array (microbenchmarked 3.0 s vs
+        # 5.7-8.2 s per actor at 16M rows) AND they shrink the shipped
+        # payload before the plasma puts. Reducer assignment is a RANGE
+        # partition of the dense id space (codes are positional ->
+        # uniform): each sorted unique-id chunk is cut by ONE
+        # searchsorted -- no hash array, no concatenated packed array,
+        # no boolean-mask gathers. The hash version allocated ~6 full-
+        # payload temporaries per level; on fault-expensive hosts that
+        # measured 20 s/actor of first-touch kernel time at the peak
+        # level (50-100us per 4 KiB page, see memtune.py).
+        n_codes = max(int(sum(self.ctx.counts.values())), 1)
+        bounds_ids = (
+            np.arange(1, n_reducers, dtype=np.int64) * n_codes
+        ) // n_reducers
+        per_red: list[list[np.ndarray]] = [[] for _ in range(n_reducers)]
         for cand, rows in new_tables.items():
             j = cand_index[cand]
             counts[j] = int(rows.shape[0])
@@ -392,25 +471,27 @@ class ShardMiner:
             # no ids shipped for the root slot
             root_dist[j] = int(np.unique(rows[:, 0]).size)
             for i in range(1, rows.shape[1]):
-                ids = np.unique(rows[:, i]).astype(np.int64)
-                packed_chunks.append(
-                    (np.int64(j * MAX_K + i) << np.int64(32)) | ids
-                )
+                ids = np.unique(rows[:, i]).astype(np.int64)  # sorted
+                packed = (np.int64(j * MAX_K + i) << np.int64(32)) | ids
+                cuts = np.searchsorted(ids, bounds_ids)
+                prev = 0
+                for r in range(n_reducers):
+                    nxt = int(cuts[r]) if r < n_reducers - 1 else len(ids)
+                    if nxt > prev:
+                        per_red[r].append(packed[prev:nxt])
+                    prev = nxt
         self.tables = new_tables
-        if packed_chunks:
-            packed = np.concatenate(packed_chunks)
-            # partition by the ID half so the same instance meets itself
-            # in one reducer regardless of key
-            h = pd.util.hash_array(
-                packed & np.int64(0xFFFFFFFF), categorize=False
-            ) % np.uint64(n_reducers)
-            refs = [ray.put(packed[h == r]) for r in range(n_reducers)]
-        else:
-            empty = np.empty(0, np.int64)
-            refs = [ray.put(empty) for _ in range(n_reducers)]
+        _t2 = _time.perf_counter()
+        empty = np.empty(0, np.int64)
+        refs = [
+            ray.put(np.concatenate(chunks) if chunks else empty)
+            for chunks in per_red
+        ]
         timings = {
             "expand_s": round(_t1 - _t0, 3),
             "partition_s": round(_time.perf_counter() - _t1, 3),
+            "unique_s": round(_t2 - _t1, 3),
+            "put_s": round(_time.perf_counter() - _t2, 3),
             "n_rows": int(sum(counts.values())),
         }
         return [refs, counts, root_dist, timings]
@@ -420,51 +501,26 @@ class ShardMiner:
         self.tables = {p: t for p, t in self.tables.items() if p in keep_set}
 
 
-@ray.remote
-def split_block(t, n_shards: int):
-    """One parallel pass per star block: sort by shard, slice into
-    n_shards sub-tables returned as separate objects (num_returns) so
-    each ShardMiner pulls only its own slices. With n_shards == 1 the
-    single return value is the table itself (num_returns=1 semantics)."""
-    if n_shards == 1:
-        if isinstance(t, pd.DataFrame):
-            if t.empty or "shard" not in t.columns:
-                return SHARD_STAR_SCHEMA.empty_table()
-            return pa.Table.from_pandas(t, schema=SHARD_STAR_SCHEMA,
-                                        preserve_index=False)
-        if "shard" not in t.column_names:
-            return SHARD_STAR_SCHEMA.empty_table()
-        return t
-    if isinstance(t, pd.DataFrame):
-        if t.empty or "shard" not in t.columns:
-            empty = SHARD_STAR_SCHEMA.empty_table()
-            return tuple(empty for _ in range(n_shards))
-        t = pa.Table.from_pandas(t, schema=SHARD_STAR_SCHEMA,
-                                 preserve_index=False)
-    if t.num_rows == 0 or "shard" not in t.column_names:
-        empty = SHARD_STAR_SCHEMA.empty_table()
-        return tuple(empty for _ in range(n_shards))
-    sh = t["shard"].to_numpy(zero_copy_only=False)
-    order = np.argsort(sh, kind="stable")
-    t = t.take(pa.array(order))
-    bounds = np.searchsorted(sh[order], np.arange(n_shards + 1))
-    return tuple(
-        t.slice(bounds[s], bounds[s + 1] - bounds[s])
-        for s in range(n_shards)
-    )
+
+def _reduce_distinct_arrays(parts) -> dict:
+    """Exact per-key distinct count over this reducer's id range: one
+    np.unique over the packed (key << 32 | id) int64 arrays, then a
+    boundary count over the (already sorted) survivors. No strings, no
+    pandas, no second sort."""
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return {}
+    u = np.unique(np.concatenate(parts) if len(parts) > 1 else parts[0])
+    keys = u >> np.int64(32)
+    cut = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [len(keys)]))
+    return dict(zip(keys[starts].tolist(), (ends - starts).tolist()))
 
 
 @ray.remote
 def reduce_distinct(*parts) -> dict:
-    """Exact per-key distinct count over this reducer's hash range: one
-    np.unique over the packed (key << 32 | id) int64 arrays, then a
-    per-key count of the surviving uniques. No strings, no pandas."""
-    packed = np.concatenate(parts)
-    if not packed.size:
-        return {}
-    u = np.unique(packed)
-    keys, counts = np.unique(u >> np.int64(32), return_counts=True)
-    return dict(zip(keys.tolist(), counts.tolist()))
+    return _reduce_distinct_arrays(parts)
 
 
 def coordinated_level_loop(
@@ -477,6 +533,10 @@ def coordinated_level_loop(
     """The driver side of the salted mode: per level, fan expand() out to
     every shard, union distinct participants (exact, no sketches), apply
     the reference's select + Lemma-2/3 filters globally."""
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("CLPM_TASK_TIMING")
     all_feats = ctx.order
     candidates = [
         (a, b)
@@ -511,12 +571,25 @@ def coordinated_level_loop(
             candidates = kept
             if not candidates:
                 break
-        n_red = max(4, len(actors) // 2)
+        # MANY SMALL reducers, not one per cpu: per-reducer concat+sort
+        # buffers must stay inside the task workers' warm allocator
+        # arenas (~tens of MB) -- at 4 cpus a payload/4-sized reducer
+        # buffer re-faulted fresh pages at 50-100us each and one level's
+        # reduce measured 11-18 s vs ~1 s of actual sort (memtune.py).
+        # Extra reducers just queue as waves on the same warm workers.
+        n_red = max(8, 4 * len(actors))
+        _t_lvl = _time.perf_counter()
         outs = ray.get(
             [a.expand_partitioned.remote(candidates, n_red) for a in actors]
         )
+        _t_exp = _time.perf_counter()
         # exact distinct, reduced in parallel: reducer r sees only the ids
-        # hashed into its range, across all shards (no sketches)
+        # in its range, across all shards (no sketches). Launched FIRST
+        # so they overlap the driver-side count sums.
+        red_futs = [
+            reduce_distinct.remote(*[refs[r] for refs, *_ in outs])
+            for r in range(n_red)
+        ]
         row_counts: dict[int, int] = {}
         root_counts: dict[int, int] = {}
         for _, counts_, roots_, _tm in outs:
@@ -524,12 +597,21 @@ def coordinated_level_loop(
                 row_counts[j] = row_counts.get(j, 0) + n
             for j, n in roots_.items():
                 root_counts[j] = root_counts.get(j, 0) + n
-        red_results = ray.get(
-            [
-                reduce_distinct.remote(*[refs[r] for refs, *_ in outs])
-                for r in range(n_red)
-            ]
-        )
+        red_results = ray.get(red_futs)
+        if _timing:
+            exps = sorted(tm["expand_s"] for *_x, tm in outs)
+            parts_s = sorted(tm["partition_s"] for *_x, tm in outs)
+            print(
+                f"LEVEL k={k} ncand={len(candidates)} "
+                f"expand_wall={_t_exp - _t_lvl:.2f} "
+                f"reduce_wall={_time.perf_counter() - _t_exp:.2f} "
+                f"expand_max={exps[-1]:.2f} expand_med={exps[len(exps)//2]:.2f} "
+                f"part_max={parts_s[-1]:.2f} part_med={parts_s[len(parts_s)//2]:.2f} "
+                f"uniq_med={sorted(tm['unique_s'] for *_x, tm in outs)[len(outs)//2]:.2f} "
+                f"put_med={sorted(tm['put_s'] for *_x, tm in outs)[len(outs)//2]:.2f} "
+                f"rows={sum(tm['n_rows'] for *_x, tm in outs)}",
+                flush=True,
+            )
         dist_counts: dict[int, int] = {}
         for rr in red_results:
             for key, n in rr.items():
