@@ -38,6 +38,10 @@ class MiningConfig:
     # second feature (exact decomposition; breaks the rarest-subtree
     # straggler that otherwise bounds scaling)
     branch_split: bool = True
+    # split a BRANCH again at the third feature when its exact k=3
+    # tables exceed this many rows (the heaviest branch is otherwise one
+    # task bounding the job tail). None -> adaptive default; 0 -> never.
+    branch_split_rows: int | None = None
 
     # Interest measure: "wpi" (rare-feature weighted, reference default) or "pi"
     measure: str = "wpi"
@@ -82,6 +86,18 @@ class MiningConfig:
             cpus = 8
         size_term = (n_rows or 0) // self.ROWS_PER_BUCKET
         return min(64, max(16, 4 * cpus, size_term))
+
+    def resolved_branch_split_rows(self) -> int:
+        """Row threshold for the third-feature branch split (0 = off).
+        Default 250k exact-k3 rows: below it the inline level loop
+        finishes in well under a second, so a deeper split would only
+        add task/plasma overhead; above it the branch is a potential
+        job-tail straggler worth decomposing (the 1.6M-row bench
+        fixture's slowest branches, 3-5 s each, carry 300-600k k3
+        rows)."""
+        if self.branch_split_rows is not None:
+            return int(self.branch_split_rows)
+        return 250_000
 
 
 def load_config_file(path: str) -> MiningConfig:

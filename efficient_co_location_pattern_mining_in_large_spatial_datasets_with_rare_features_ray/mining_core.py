@@ -222,7 +222,7 @@ def filter_candidates(
     min_prev: float,
     ctx: FeatureContext,
     use_lemma3: bool,
-    branch_mode: bool = False,
+    branch_depth: int = 0,
 ) -> list[tuple[str, ...]]:
     """Lemma-2 / Lemma-3 prune (src/miner.cpp:152-215). Called only for
     k >= 3 (the k==2 skip lives in the level loop, src/miner.cpp:69-71).
@@ -233,12 +233,13 @@ def filter_candidates(
     ``PI(subset over T_{k-1}) * (1/RI(f_max, C)) < min_prev``; mirrors the
     reference's IEEE quirks (RI==0 -> w=inf; PI 0 * inf = NaN -> no prune).
 
-    ``branch_mode``: the subset dropping position 1 (the branch's second
-    feature) lives in a SIBLING branch whose prevalent set this task
-    cannot see; skip that one check. A skipped prune only costs an extra
-    expansion -- the exact WPI test still decides prevalence -- so the
-    branch-parallel decomposition (``mine_branch``) emits the identical
-    pattern set.
+    ``branch_depth``: a branch task mines one prefix (root, f_1, ...,
+    f_branch_depth) of the subtree; the subsets dropping positions
+    1..branch_depth live in SIBLING branches whose prevalent sets this
+    task cannot see -- skip those checks. A skipped prune only costs an
+    extra expansion -- the exact WPI test still decides prevalence -- so
+    the branch-parallel decomposition (``mine_branch`` and its deeper
+    splits) emits the identical pattern set.
     """
     if not candidates or not prev_prevalent:
         return []
@@ -249,7 +250,7 @@ def filter_candidates(
         for drop in range(len(cand)):
             subset = cand[:drop] + cand[drop + 1 :]
             if drop != 0:
-                if branch_mode and drop == 1:
+                if 1 <= drop <= branch_depth:
                     continue  # cross-branch subset: unknowable here
                 if subset not in prev_set:
                     valid = False
@@ -449,6 +450,87 @@ def mine_k2(
     return results, [p[1] for p in prevalent]
 
 
+def prefix_table(
+    root_centers: np.ndarray, prefix: tuple[str, ...], csr: "StarCSR"
+) -> np.ndarray | None:
+    """Instance table T(prefix) by chaining the extended-set expansion
+    over prefix[1:] (prefix[0] is the subtree root)."""
+    t = root_centers.reshape(-1, 1).astype(np.int32, copy=False)
+    for f in prefix[1:]:
+        t = _expand_one(t, f, csr)
+        if t is None:
+            return None
+    return t
+
+
+def mine_branch_level(
+    index,
+    t_prefix: np.ndarray,
+    ctx: FeatureContext,
+    min_prev: float,
+    prefix: tuple[str, ...],
+    prevalent_lasts: list[str],
+    measure: str = "wpi",
+):
+    """One exact level k = len(prefix)+1 of the branch rooted at
+    ``prefix``: candidates are prefix+(g,) for each later-ranked g in
+    ``prevalent_lasts`` (the prevalent extensions of prefix[:-1], i.e.
+    both within-branch Lemma-2 subsets hold by construction). Returns
+    (records, prevalent candidates, their tables) so the caller can
+    either continue the level loop inline or split further."""
+    csr = as_csr(index)
+    flags = np.zeros(csr.n_codes, bool) if csr.n_codes <= _FLAGS_MAX else None
+    rank = ctx.rank
+    candidates = [
+        prefix + (g,) for g in prevalent_lasts if rank[g] > rank[prefix[-1]]
+    ]
+    results: list[dict] = []
+    tables = expand_tables(candidates, {prefix: t_prefix}, csr)
+    prevalent = _select_level(
+        candidates, tables, ctx, min_prev, measure, len(prefix) + 1, flags,
+        results,
+    )
+    return results, prevalent, tables
+
+
+def continue_branch(
+    index,
+    ctx: FeatureContext,
+    min_prev: float,
+    measure: str,
+    tables: dict[tuple[str, ...], np.ndarray],
+    prevalent: list[tuple[str, ...]],
+    k: int,
+    branch_depth: int,
+) -> list[dict]:
+    """Run the level loop from level ``k+1`` given level-k prevalent
+    patterns and their tables (the inline tail of a branch task)."""
+    csr = as_csr(index)
+    flags = np.zeros(csr.n_codes, bool) if csr.n_codes <= _FLAGS_MAX else None
+    results: list[dict] = []
+    prev_tables = tables
+    prev_prevalent = prevalent
+    candidates = gen_candidates(prev_prevalent, ctx)
+    k += 1
+    while candidates:
+        candidates = filter_candidates(
+            candidates, prev_prevalent, prev_tables, min_prev, ctx,
+            use_lemma3=False, branch_depth=branch_depth,
+        )
+        if not candidates:
+            break
+        tables = expand_tables(candidates, prev_tables, csr)
+        prev_prevalent = _select_level(
+            candidates, tables, ctx, min_prev, measure, k, flags, results
+        )
+        if not prev_prevalent:
+            break
+        prev_tables = tables
+        candidates = gen_candidates(prev_prevalent, ctx)
+        k += 1
+    return results
+
+
 def mine_branch(
     index,
     root_centers: np.ndarray,
@@ -469,43 +551,21 @@ def mine_branch(
     SECOND features (computed once by ``mine_k2``, broadcast here). Both
     k=3 Lemma-2 subsets containing root are therefore checked exactly;
     at k >= 4 the subset dropping ``second`` is cross-branch and its
-    check is skipped (``filter_candidates`` branch_mode -- a lost prune,
-    never a lost/spurious pattern). Emits k >= 3 records only; level 2
-    is the prep task's output."""
+    check is skipped (``filter_candidates`` branch_depth -- a lost
+    prune, never a lost/spurious pattern). Emits k >= 3 records only;
+    level 2 is the prep task's output."""
     csr = as_csr(index)
-    flags = np.zeros(csr.n_codes, bool) if csr.n_codes <= _FLAGS_MAX else None
-    t1 = root_centers.reshape(-1, 1).astype(np.int32, copy=False)
-    t12 = _expand_one(t1, second, csr)
+    t12 = prefix_table(root_centers, (root, second), csr)
     if t12 is None:
         return []
-    rank = ctx.rank
-    prev_tables: dict[tuple[str, ...], np.ndarray] = {(root, second): t12}
-    # exact k=3 candidates: both 2-subsets containing root prevalent
-    candidates = [
-        (root, second, g)
-        for g in prevalent_seconds
-        if rank[g] > rank[second]
-    ]
-    prev_prevalent: list[tuple[str, ...]] = []
-    results: list[dict] = []
-    k = 3
-    while candidates:
-        if k > 3:
-            candidates = filter_candidates(
-                candidates, prev_prevalent, prev_tables, min_prev, ctx,
-                use_lemma3=False, branch_mode=True,
-            )
-            if not candidates:
-                break
-        tables = expand_tables(candidates, prev_tables, csr)
-        prev_prevalent = _select_level(
-            candidates, tables, ctx, min_prev, measure, k, flags, results
+    results, prevalent, tables = mine_branch_level(
+        csr, t12, ctx, min_prev, (root, second), prevalent_seconds, measure
+    )
+    if prevalent:
+        results += continue_branch(
+            csr, ctx, min_prev, measure, tables, prevalent, 3,
+            branch_depth=1,
         )
-        if not prev_prevalent:
-            break
-        prev_tables = tables
-        candidates = gen_candidates(prev_prevalent, ctx)
-        k += 1
     return results
 
 

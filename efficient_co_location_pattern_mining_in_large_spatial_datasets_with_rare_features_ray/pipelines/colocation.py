@@ -181,14 +181,25 @@ def mine(
         )
         _milestone("graph_submitted")
         # branch-split preps return LISTS of nested branch-task refs
-        # alongside plain pattern tables; flatten one level
-        results = ray.get(tasks)
+        # alongside plain k2 pattern tables; all branch outputs fan into
+        # ONE gather task (per-object driver ray.get overhead measured
+        # ~2-3 s at ~320 branches), which also resolves the deep-split
+        # sub-branch nesting
+        from ..stages.mining import _gather_pattern_tables
+
+        results = ray.get(list(tasks))
         _milestone("preps_done")
-        nested = [r for res in results if isinstance(res, list) for r in res]
-        tables = [t for t in results if not isinstance(t, list)]
-        tables += ray.get(nested)
+        branch_refs = [
+            r for res in results if isinstance(res, list) for r in res
+        ]
+        tables = [
+            t for t in results if not isinstance(t, list) and t.num_rows
+        ]
+        if branch_refs:
+            gathered = ray.get(_gather_pattern_tables.remote(*branch_refs))
+            if gathered.num_rows:
+                tables.append(gathered)
         _milestone("branches_done")
-        tables = [t for t in tables if t.num_rows]
     out = (
         pa.concat_tables(tables).combine_chunks()
         if tables else PATTERN_SCHEMA.empty_table()

@@ -40,6 +40,75 @@ def _task_timing(name: str):
     return done
 
 
+@ray.remote
+def _gather_pattern_tables(*items):
+    """Fan-in task: concatenate branch outputs into ONE pattern table.
+    Args are branch-task refs resolved by the raylet (C++ path) -- the
+    driver then fetches a single object instead of paying per-object
+    ray.get overhead on hundreds of tiny tables (measured ~2-3 s of
+    driver time at 319 branches). Deep-split branches return nested
+    [sub_refs..., table] lists; those few refs are resolved here."""
+    tables: list = []
+    pending: list = []
+
+    def absorb(x):
+        if isinstance(x, list):
+            for y in x:
+                absorb(y)
+        elif isinstance(x, ray.ObjectRef):
+            pending.append(x)
+        elif x.num_rows:
+            tables.append(x)
+
+    for it in items:
+        absorb(it)
+    while pending:
+        batch, pending = pending, []
+        for x in ray.get(batch):
+            absorb(x)
+    if not tables:
+        return PATTERN_SCHEMA.empty_table()
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def resolve_pattern_results(items) -> list:
+    """Flatten a mix of pattern tables, ObjectRefs and nested lists to a
+    flat table list. Branch tasks may return [sub_task_refs..., table]
+    when they split at the third feature, so resolution is a worklist,
+    not a single ray.get."""
+    import ray as _ray
+
+    tables: list = []
+    pending: list = []
+
+    def absorb(x):
+        if isinstance(x, list):
+            for y in x:
+                absorb(y)
+        elif isinstance(x, _ray.ObjectRef):
+            pending.append(x)
+        else:
+            tables.append(x)
+
+    import os
+    import time as _t
+
+    _dbg = os.environ.get("CLPM_TASK_TIMING")
+    absorb(items)
+    while pending:
+        batch, pending = pending, []
+        t0 = _t.perf_counter()
+        got = _ray.get(batch)
+        if _dbg:
+            print(
+                f"RESOLVE n={len(batch)} get_s={_t.perf_counter() - t0:.2f}",
+                flush=True,
+            )
+        for x in got:
+            absorb(x)
+    return tables
+
+
 PATTERN_SCHEMA = pa.schema(
     [
         ("pattern", pa.string()),       # comma-joined canonical feature list
@@ -138,18 +207,101 @@ def _mine_subtree_task(
 @ray.remote
 def _mine_branch_task(
     ctx: FeatureContext, min_prev: float, measure: str, root: str,
-    second: str, state,
-) -> pa.Table:
+    second: str, state, box=None, split_rows: int = 0,
+):
     """Branch-split phase 2: mine the (root, second) branch (k >= 3)
     against the shared subtree index (spawned by the prep task, one per
-    prevalent second feature)."""
-    from ..mining_core import mine_branch
+    prevalent second feature).
+
+    When the branch's exact k=3 tables exceed ``split_rows`` rows, the
+    level loop splits AGAIN at the third feature: one
+    ``_mine_subbranch_task`` per prevalent (root, second, third) prefix,
+    reading the shared index zero-copy via ``box`` (the un-resolved
+    state ref). Without this the heaviest branch is one task bounding
+    the whole job's tail. Returns either a pattern table, or a list of
+    sub-task refs plus this branch's k=3 table (the driver resolves
+    recursively: resolve_pattern_results)."""
+    from ..mining_core import (
+        continue_branch,
+        mine_branch_level,
+        prefix_table,
+    )
 
     _done = _task_timing(f"branch:{root}:{second}")
     index, root_centers, seconds = state
-    recs = mine_branch(
-        index, root_centers, ctx, min_prev, root, second, seconds, measure
+    t12 = prefix_table(root_centers, (root, second), index)
+    if t12 is None:
+        _done()
+        return PATTERN_SCHEMA.empty_table()
+    recs3, prevalent3, tables3 = mine_branch_level(
+        index, t12, ctx, min_prev, (root, second), seconds, measure
     )
+    if not prevalent3:
+        _done()
+        return _records_table(recs3, root)
+    total_rows = sum(int(t.shape[0]) for t in tables3.values())
+    import os as _os
+
+    if _os.environ.get("CLPM_TASK_TIMING") and total_rows > 100_000:
+        print(f"BRANCHROWS {root}:{second} k3_rows={total_rows}", flush=True)
+    if (
+        not split_rows or box is None or len(prevalent3) < 2
+        or total_rows < split_rows
+    ):
+        recs = recs3 + continue_branch(
+            index, ctx, min_prev, measure, tables3, prevalent3, 3,
+            branch_depth=1,
+        )
+        _done()
+        return _records_table(recs, root)
+    thirds = [p[2] for p in prevalent3]
+    # largest sub-branches first so the tail packs with small tasks
+    order = sorted(
+        prevalent3, key=lambda p: -int(tables3[p].shape[0])
+    )
+    subs = [
+        _mine_subbranch_task.remote(
+            ctx, min_prev, measure, p, thirds,
+            ray.put(tables3[p]), box,
+        )
+        for p in order
+    ]
+    # fan this branch's sub-tables into ONE gather whose args the raylet
+    # resolves natively -- the top-level gather then sees one ref per
+    # split branch instead of paying per-object ray.get overhead on
+    # every sub-branch output
+    _done()
+    return [
+        _gather_pattern_tables.remote(*subs),
+        _records_table(recs3, root),
+    ]
+
+
+@ray.remote
+def _mine_subbranch_task(
+    ctx: FeatureContext, min_prev: float, measure: str,
+    prefix3: tuple[str, ...], thirds: list[str], t13, box,
+) -> pa.Table:
+    """Deep-split phase 3: mine ONE (root, second, third) sub-branch
+    (k >= 4). Same exactness argument as mine_branch, one level deeper:
+    k=4 candidates prefix3+(g,) need g in the prevalent THIRDS of the
+    parent branch (apriori-gen joins share the first k-2 = 2 features,
+    both of which are this branch's (root, second)); the subsets
+    dropping second or third are cross-branch and skipped
+    (branch_depth=2) -- lost prunes only, never lost/spurious patterns."""
+    from ..mining_core import continue_branch, mine_branch_level
+
+    root = prefix3[0]
+    _done = _task_timing(f"subbranch:{':'.join(prefix3)}")
+    index, _root_centers, _seconds = ray.get(box[0])
+    recs, prevalent, tables = mine_branch_level(
+        index, t13, ctx, min_prev, prefix3, thirds, measure
+    )
+    if prevalent:
+        recs += continue_branch(
+            index, ctx, min_prev, measure, tables, prevalent, 4,
+            branch_depth=2,
+        )
     _done()
     return _records_table(recs, root)
 
@@ -391,7 +543,7 @@ def _csr_from_key_slices(
 
 def _prep_key_subtree_body(
     ctx: FeatureContext, min_prev: float, measure: str, root: str,
-    n_codes: int, parts_list,
+    n_codes: int, parts_list, split_rows: int = 0,
 ):
     """Shared body of the prep task (live-graph and resume variants):
     build the CSR index once, run the exact k=2 level, then SUBMIT the
@@ -424,7 +576,10 @@ def _prep_key_subtree_body(
     # late-started heavy branch
     size_of = {r["pattern"][1]: r["n_rows"] for r in recs2}
     branches = [
-        _mine_branch_task.remote(ctx, min_prev, measure, root, g, state_ref)
+        _mine_branch_task.remote(
+            ctx, min_prev, measure, root, g, state_ref,
+            [state_ref], split_rows,
+        )
         for g in sorted(seconds, key=lambda g: -size_of.get(g, 0))
     ]
     _done()
@@ -434,11 +589,13 @@ def _prep_key_subtree_body(
 @ray.remote(num_returns=2)
 def _prep_key_subtree_task(
     ctx: FeatureContext, min_prev: float, measure: str, root: str,
-    n_codes: int, *slices,
+    n_codes: int, split_rows: int, *slices,
 ):
     """Branch-split phase 1 over the compact key format (see
     _prep_key_subtree_body)."""
-    return _prep_key_subtree_body(ctx, min_prev, measure, root, n_codes, slices)
+    return _prep_key_subtree_body(
+        ctx, min_prev, measure, root, n_codes, slices, split_rows
+    )
 
 
 @ray.remote
@@ -498,12 +655,12 @@ def _read_root_star_slices(root_dir: str) -> list:
 @ray.remote(num_returns=2)
 def _prep_key_subtree_from_ckpt(
     ctx: FeatureContext, min_prev: float, measure: str, root: str,
-    n_codes: int, slices_list: list,
+    n_codes: int, split_rows: int, slices_list: list,
 ):
     """Resume-path prep: same as _prep_key_subtree_task but over slices
     loaded from the star checkpoint (list arg instead of *refs)."""
     return _prep_key_subtree_body(
-        ctx, min_prev, measure, root, n_codes, slices_list
+        ctx, min_prev, measure, root, n_codes, slices_list, split_rows
     )
 
 
@@ -555,7 +712,8 @@ def mine_task_graph(
             branches, k2 = _prep_key_subtree_task.options(
                 num_returns=2
             ).remote(
-                ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes, *slices
+                ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes,
+                cfg.resolved_branch_split_rows(), *slices
             )
             tasks.append(branches)
             tasks.append(k2)
@@ -720,11 +878,14 @@ def mine_task_graph_checkpointed(
         branches, k2 = _prep_key_subtree_from_ckpt.options(
             num_returns=2
         ).remote(
-            ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes, slices_list
+            ctx_ref, cfg.min_prevalence, cfg.measure, f, n_codes,
+            cfg.resolved_branch_split_rows(), slices_list
         )
         pending.append((rdir, branches, k2))
     for rdir, branches_ref, k2_ref in pending:
-        parts = [ray.get(k2_ref)] + ray.get(ray.get(branches_ref))
+        parts = [ray.get(k2_ref)] + resolve_pattern_results(
+            ray.get(branches_ref)
+        )
         parts = [t for t in parts if t.num_rows]
         t = (
             pa.concat_tables(parts).combine_chunks()

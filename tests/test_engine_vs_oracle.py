@@ -105,6 +105,29 @@ def test_pi_measure_mode(ray_session):
     assert pattern_set(o_wpi) != pattern_set(o_pi)
 
 
+def test_deep_branch_split_equality(ray_session):
+    """branch_split_rows=1 forces EVERY branch with >=2 prevalent thirds
+    to split again at the third feature (nested sub-branch tasks); the
+    pattern table must be identical to the inline level loop's."""
+    ids, feats, x, y = clustered_instances(800, seed=7)
+    ds = from_numpy(ids, feats, x, y, parallelism=4)
+    inline = mine(
+        ds,
+        MiningConfig(
+            neighbor_distance=10.0, min_prevalence=0.25, branch_split_rows=0
+        ),
+    )
+    ds2 = from_numpy(ids, feats, x, y, parallelism=4)
+    deep = mine(
+        ds2,
+        MiningConfig(
+            neighbor_distance=10.0, min_prevalence=0.25, branch_split_rows=1
+        ),
+    )
+    assert inline.patterns_table().equals(deep.patterns_table())
+    assert deep.patterns_table()["k"].to_pylist().count(4) > 0  # k>=4 exercised
+
+
 def test_branch_split_off_equality(ray_session):
     """branch_split=False falls back to one task per subtree (row-format
     stars); both decompositions must produce identical tables."""
