@@ -316,15 +316,19 @@ class ShardMiner:
             # first _build/expand pays seconds of kernel time that the
             # long-lived workers of a real cluster never see (the bench
             # warmup wave only reaches Ray's task workers, not actors).
-            # Sized to the actor's share of the data (32 MB per owned
-            # shard, 128 MB floor, 1 GB cap): the VMM services faults
-            # with limited concurrency, so over-warming N actors
-            # serializes into tens of seconds of wall -- worse than
-            # faulting lazily -- while under-warming re-exposes the
-            # fault cost inside the first _build/expand.
-            n_words = min(max(16_000_000, 4_000_000 * len(self.shards)),
-                          128_000_000)
-            buf = np.empty(n_words, np.int64)
+            # Sized to the actor's share of the DATA (~5 KB of peak
+            # allocator churn per owned instance row, calibrated on the
+            # 400k-row bench fixture; clamp 16 MB..1 GB): the VMM
+            # services faults with limited concurrency, so over-warming
+            # N actors serializes into tens of seconds of wall -- a
+            # fixed 128 MB floor across 32 actors measured ~50 s on a
+            # 12 s job -- while under-warming re-exposes the fault cost
+            # inside the first _build/expand.
+            share = len(self.shards) / max(n_shards, 1)
+            rows_total = sum(ctx.counts.values())
+            n_bytes = min(max(int(share * rows_total * 5000), 16 << 20),
+                          1 << 30)
+            buf = np.empty(n_bytes // 8, np.int64)
             buf.fill(1)
             del buf
 
@@ -576,8 +580,11 @@ def coordinated_level_loop(
         # arenas (~tens of MB) -- at 4 cpus a payload/4-sized reducer
         # buffer re-faulted fresh pages at 50-100us each and one level's
         # reduce measured 11-18 s vs ~1 s of actual sort (memtune.py).
-        # Extra reducers just queue as waves on the same warm workers.
-        n_red = max(8, 4 * len(actors))
+        # Extra reducers just queue as waves on the same warm workers;
+        # capped at 64 because every actor ray.puts one partition per
+        # reducer per level (128 reducers x 32 actors measured ~0.4 s of
+        # puts per level on a small job).
+        n_red = max(8, min(4 * len(actors), 64))
         _t_lvl = _time.perf_counter()
         outs = ray.get(
             [a.expand_partitioned.remote(candidates, n_red) for a in actors]
