@@ -483,8 +483,16 @@ def ivf_topk(
     counts). The other standard scale path next to LSH bucketing;
     recall-tested against the brute-force baseline. Output schema
     matches ann_topk."""
-    sample = embeddings.take(train_sample)
-    m = _normalize(np.stack([np.asarray(r["embedding"]) for r in sample]))
+    # limit() pushes the bound into the read so only the first blocks
+    # are materialized; one Arrow batch instead of take()'s row dicts
+    sample = (
+        embeddings.select_columns(["embedding"])
+        .limit(train_sample)
+        .to_pandas()["embedding"]
+    )
+    # float64 like the previous take() row path (float32 k-means drifts
+    # the centroids and would invalidate the committed VALUES goldens)
+    m = _normalize(np.stack([np.asarray(v) for v in sample]).astype(np.float64))
     rng = np.random.default_rng(seed)
     centroids = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
     for _ in range(kmeans_iters):  # spherical k-means on the sample
