@@ -462,6 +462,7 @@ class ShardMiner:
         # payload temporaries per level; on fault-expensive hosts that
         # measured 20 s/actor of first-touch kernel time at the peak
         # level (50-100us per 4 KiB page, see memtune.py).
+        candidates = list(candidates)
         n_codes = max(int(sum(self.ctx.counts.values())), 1)
         bounds_ids = (
             np.arange(1, n_reducers, dtype=np.int64) * n_codes
@@ -498,7 +499,14 @@ class ShardMiner:
             "put_s": round(_time.perf_counter() - _t2, 3),
             "n_rows": int(sum(counts.values())),
         }
-        return [refs, counts, root_dist, timings]
+        # counts ship as int64 array pairs, not dicts: at thousands of
+        # candidates x 32 actors the dict pickling + driver-side Python
+        # merge loops were a measurable slice of every level barrier
+        cj = np.fromiter(counts.keys(), np.int64, len(counts))
+        cn = np.fromiter(counts.values(), np.int64, len(counts))
+        rj = np.fromiter(root_dist.keys(), np.int64, len(root_dist))
+        rn = np.fromiter(root_dist.values(), np.int64, len(root_dist))
+        return [refs, (cj, cn), (rj, rn), timings]
 
     def prune_tables(self, keep: list[tuple[str, ...]]) -> None:
         keep_set = set(keep)
@@ -586,8 +594,10 @@ def coordinated_level_loop(
         # puts per level on a small job).
         n_red = max(8, min(4 * len(actors), 64))
         _t_lvl = _time.perf_counter()
+        # broadcast the candidate list once (plasma), not once per actor
+        cand_ref = ray.put(candidates)
         outs = ray.get(
-            [a.expand_partitioned.remote(candidates, n_red) for a in actors]
+            [a.expand_partitioned.remote(cand_ref, n_red) for a in actors]
         )
         _t_exp = _time.perf_counter()
         # exact distinct, reduced in parallel: reducer r sees only the ids
@@ -597,13 +607,11 @@ def coordinated_level_loop(
             reduce_distinct.remote(*[refs[r] for refs, *_ in outs])
             for r in range(n_red)
         ]
-        row_counts: dict[int, int] = {}
-        root_counts: dict[int, int] = {}
-        for _, counts_, roots_, _tm in outs:
-            for j, n in counts_.items():
-                row_counts[j] = row_counts.get(j, 0) + n
-            for j, n in roots_.items():
-                root_counts[j] = root_counts.get(j, 0) + n
+        row_counts = np.zeros(len(candidates), np.int64)
+        root_counts = np.zeros(len(candidates), np.int64)
+        for _, (cj, cn), (rj, rn), _tm in outs:
+            np.add.at(row_counts, cj, cn)
+            np.add.at(root_counts, rj, rn)
         red_results = ray.get(red_futs)
         if _timing:
             exps = sorted(tm["expand_s"] for *_x, tm in outs)
@@ -628,8 +636,8 @@ def coordinated_level_loop(
         prev_prevalent = []
         prev_pi = {}
         for j, cand in enumerate(candidates):
-            nrows = row_counts.get(j, 0)
-            dist = [root_counts.get(j, 0)] + [
+            nrows = int(row_counts[j])
+            dist = [int(root_counts[j])] + [
                 dist_counts.get(j * mk + i, 0) for i in range(1, len(cand))
             ]
             m = select_metrics(cand, dist, ctx)
