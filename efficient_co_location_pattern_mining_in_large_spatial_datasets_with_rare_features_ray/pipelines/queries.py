@@ -583,6 +583,18 @@ def q_token_totals(sf_dir: str) -> Dataset:
     return text_pipe.token_totals(_docs(sf_dir))
 
 
+def q_token_topk(sf_dir: str) -> Dataset:
+    from . import text as text_pipe
+
+    return text_pipe.token_topk(_docs(sf_dir), k=50)
+
+
+def q_bigram_topk(sf_dir: str) -> Dataset:
+    from . import text as text_pipe
+
+    return text_pipe.bigram_topk(_docs(sf_dir), k=50)
+
+
 def q_langid(sf_dir: str) -> Dataset:
     from . import text as text_pipe
 
@@ -710,6 +722,28 @@ FROM documents GROUP BY source"""
 
 SQL_DEDUP_EXACT = """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text"""
+
+# same whitespace tokenization as SQL_TOKEN_TOTALS (trim + \s+ split ==
+# python str.split()); ties at the cutoff break (n desc, token asc) on
+# both sides, so the LIMIT boundary is deterministic
+SQL_TOKEN_TOPK = """SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
+
+SQL_BIGRAM_TOPK = """WITH flat AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS ord
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+  FROM flat
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE bigram IS NOT NULL
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50"""
 
 # exact restatement of functions/text.lang_id: per-language stopword hit
 # counts over whitespace tokens (duplicates counted), first language in
@@ -1008,6 +1042,8 @@ DATA_QUERIES = {
     "corpus_clean": q_corpus_clean,
     "doc_quality": q_doc_quality,
     "token_totals": q_token_totals,
+    "token_topk": q_token_topk,
+    "bigram_topk": q_bigram_topk,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -1041,6 +1077,8 @@ def _golden_sql(name: str) -> str | None:
 DATA_SQL = {
     "doc_quality": SQL_DOC_QUALITY,
     "token_totals": SQL_TOKEN_TOTALS,
+    "token_topk": SQL_TOKEN_TOPK,
+    "bigram_topk": SQL_BIGRAM_TOPK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_topk": SQL_ANN_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,

@@ -79,3 +79,74 @@ def doc_fingerprints(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def token_topk(docs: Dataset, k: int = 50) -> Dataset:
+    """Global top-k most frequent whitespace tokens: (token, n).
+
+    The classic LM-training-data word count at scale: per-batch partial
+    ``value_counts`` (one row per distinct token per batch, not per
+    occurrence), a groupby-sum over the shrunken partials, then a
+    DISTRIBUTED sort + limit -- the full vocabulary never lands on the
+    driver. Ties at the cutoff break deterministically (n desc, token
+    asc), matching the SQL oracle's ORDER BY."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .sum("n")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(n)": "n"}),
+            batch_format="pandas",
+        )
+    )
+    return agg.sort(key=["n", "token"], descending=[True, False]).limit(k)
+
+
+def bigram_topk(docs: Dataset, k: int = 50) -> Dataset:
+    """Global top-k token bigrams: (bigram, n) -- n-gram statistics for
+    training-data analysis. Bigrams are built vectorized (one flat token
+    array per batch with document-boundary masking, no per-doc Python
+    loop); the shuffle shape matches token_topk."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.concatenate(toks.to_numpy()[keep]).astype(object)
+        if len(flat) < 2:
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        # mask out pairs spanning a document boundary
+        mask = np.ones(len(flat) - 1, bool)
+        ends = np.cumsum(lens[keep])[:-1] - 1
+        mask[ends] = False
+        big = flat[:-1][mask] + " " + flat[1:][mask]
+        vc = pd.Series(big).value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.astype(str), "n": vc.to_numpy(np.int64)}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .sum("n")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(n)": "n"}),
+            batch_format="pandas",
+        )
+    )
+    return agg.sort(key=["n", "bigram"], descending=[True, False]).limit(k)

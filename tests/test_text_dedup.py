@@ -224,3 +224,33 @@ def test_sharded_candidate_broadcast_millions(ray_session):
     # empty set round-trips
     n0, r0 = shard_candidate_ids(np.empty(0, np.int64))
     assert not filter_to_candidates(probe[:10], n0, r0).any()
+
+
+def test_token_and_bigram_topk(ray_session):
+    """Hand-checkable corpus: counts, tie-breaking (n desc, token asc)
+    and document-boundary masking (no cross-doc bigrams)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.text import (
+        bigram_topk,
+        token_topk,
+    )
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a b a"},
+            {"doc_id": 1, "text": "b a"},
+            {"doc_id": 2, "text": "c"},
+        ]
+    )
+    toks = token_topk(docs, k=2).to_pandas()
+    # counts: a=4, b=3, c=1 -> top-2 = a, b
+    assert list(toks["token"]) == ["a", "b"]
+    assert list(toks["n"]) == [4, 3]
+
+    big = bigram_topk(docs, k=10).to_pandas()
+    got = dict(zip(big["bigram"], big["n"]))
+    # doc0: "a b" x2, "b a" x2; doc1: "b a"; NO "a b" across doc0|doc1
+    assert got == {"a b": 2, "b a": 3}
+    # tie-break determinism at equal n: lexicographic ascending
+    docs2 = ray.data.from_items([{"doc_id": 0, "text": "z y z y"}])
+    t2 = token_topk(docs2, k=1).to_pandas()
+    assert list(t2["token"]) == ["y"]
