@@ -502,6 +502,46 @@ SELECT user_id, session_id,
 FROM sess GROUP BY user_id, session_id"""
 
 
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+
+
+def q_events_asof(sf_dir: str) -> Dataset:
+    """Point-in-time (as-of) join: each purchase event picks up the value
+    of the same user's most recent click at-or-before the purchase ts.
+    One tagged-union hash shuffle + vectorized in-group searchsorted --
+    see pipelines/joins.py for the operator and its partitioning
+    assumption."""
+    import ray.data
+
+    from .joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = ev.filter(
+        expr=f"event_type == '{ASOF_LEFT_TYPE}'"
+    ).select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(
+        expr=f"event_type == '{ASOF_RIGHT_TYPE}'"
+    ).select_columns(["event_id", "user_id", "ts", "value"])
+    return asof_join(left, right)
+
+
+SQL_EVENTS_ASOF = f"""SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.value AS asof_value
+FROM events l
+CROSS JOIN LATERAL (
+  SELECT r.ts, r.value FROM events r
+  WHERE r.user_id = l.user_id
+    AND r.event_type = '{ASOF_RIGHT_TYPE}'
+    AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) r
+WHERE l.event_type = '{ASOF_LEFT_TYPE}'"""
+
+
 _KNN_IDS_SQL = ", ".join(f"'{q}'" for q in KNN_QUERY_IDS)
 
 SQL_KNN = f"""WITH {_INST},
@@ -1021,10 +1061,12 @@ SPATIAL_QUERIES = {
     "colo_raster_boxes": q_raster_boxes,
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
 }
 
 SPATIAL_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_asof": SQL_EVENTS_ASOF,
     "colo_knn": SQL_KNN,
     "colo_point_in_polygon": SQL_PIP,
     "colo_rasterize": SQL_RASTERIZE,

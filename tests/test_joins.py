@@ -1,0 +1,93 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+    asof_join,
+)
+
+
+def _fixture(seed: int, n_left: int = 400, n_right: int = 300):
+    rng = np.random.default_rng(seed)
+    t0 = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_left, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n_left),
+            "ts": t0 + rng.integers(0, 10**9, n_left).astype("timedelta64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.arange(10_000, 10_000 + n_right, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n_right),
+            "ts": t0 + rng.integers(0, 10**9, n_right).astype("timedelta64[us]"),
+            "value": np.round(rng.uniform(0, 100, n_right), 2),
+        }
+    )
+    # duplicate-ts collisions to exercise the (ts, id) tie-break
+    dup = right.iloc[:20].copy()
+    dup["event_id"] += 50_000
+    dup["value"] += 1000.0
+    right = pd.concat([right, dup], ignore_index=True)
+    return left, right
+
+
+def _pandas_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    r = right.sort_values(["ts", "event_id"], kind="stable")
+    out = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        r.rename(columns={"ts": "asof_ts", "value": "asof_value"})[
+            ["user_id", "asof_ts", "asof_value"]
+        ],
+        left_on="ts",
+        right_on="asof_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    out = out.dropna(subset=["asof_value"])
+    return out[["event_id", "user_id", "ts", "asof_ts", "asof_value"]]
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_asof_join_matches_pandas(ray_session, seed):
+    left, right = _fixture(seed)
+    got = (
+        asof_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(4),
+        )
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_asof(left, right).sort_values(["event_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_no_right_rows_for_key(ray_session):
+    left = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], np.int64),
+            "user_id": np.array([5, 6], np.int64),
+            "ts": pd.to_datetime(["2024-01-02", "2024-01-03"]),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.array([9], np.int64),
+            "user_id": np.array([5], np.int64),
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "value": np.array([3.5]),
+        }
+    )
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right)
+    ).to_pandas()
+    # user 6 has no right rows -> dropped (inner as-of); user 5 matches
+    assert got["event_id"].tolist() == [1]
+    assert got["asof_value"].tolist() == [3.5]
