@@ -3,10 +3,11 @@
 Images are opaque ``binary`` columns with typed metadata (w, h, fmt);
 every pixel-touching stage is an actor-pool ``map_batches`` (codec state
 per actor, small batches because rows are wide). The sandbox has no
-image libraries: PNG decode and nearest-neighbor resize are real
-pure-numpy implementations; true JPEG / audio / video codecs are
-STUBBED behind NotImplementedError with the Ray-side plumbing (schemas,
-batch sizes, actor signatures) real and tested.
+image libraries: PNG and baseline JPEG (JFIF) codecs plus
+nearest-neighbor resize are real pure-numpy implementations written
+from the public specs; audio / video codecs are STUBBED behind
+NotImplementedError with the Ray-side plumbing (schemas, batch sizes,
+actor signatures) real and tested.
 """
 
 from __future__ import annotations

@@ -1,17 +1,18 @@
 """Minimal self-contained image codecs for the Lance-schema fixture.
 
-The sandbox has no PIL/libjpeg, so:
+The sandbox has no PIL/libjpeg, so both codecs are pure-numpy
+implementations of the public specs:
 
 * ``png``  -- a real, spec-compliant PNG encoder/decoder (8-bit RGB,
   filter type 0, zlib) written against the public PNG spec. Lossless:
   the per-row invariant is byte-exact pixel equality.
-* ``jpeg`` -- STUB LOSSY CODEC. A deterministic stand-in for JPEG
-  (quantize each channel to multiples of 4 + zlib, ``FAKEJPG1`` magic):
-  NOT a real JPEG bitstream, but genuinely lossy with PSNR ~48 dB, so
-  the PSNR >= 40 dB invariant path (BASELINE.json input_hint) is
-  exercised for real. Swap ``encode_jpeg/decode_jpeg`` for libjpeg
-  bindings in production; all Ray-side plumbing (binary columns, actor
-  batch signatures, invariant checks) is identical.
+* ``jpeg`` -- a real baseline JFIF codec (:mod:`.jpeg` — ITU T.81
+  baseline sequential, 4:4:4, Annex-K tables, default quality 98 ->
+  PSNR ~43 dB on the fixture content), replacing rounds 1-3's
+  ``FAKEJPG1`` stand-in so the PSNR >= 40 dB invariant path
+  (BASELINE.json input_hint) runs against a genuine JPEG bitstream.
+  ``decode_jpeg`` still sniffs and decodes legacy ``FAKEJPG1`` blobs so
+  fixture directories written by earlier rounds remain readable.
 """
 
 from __future__ import annotations
@@ -21,9 +22,12 @@ import zlib
 
 import numpy as np
 
+from . import jpeg as _jfif
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _FAKEJPG_MAGIC = b"FAKEJPG1"
-_JPEG_QUANT = 4  # quantization step -> MSE ~ step^2/12 -> PSNR ~ 47.9 dB
+_JPEG_QUANT = 4  # legacy stub quant step (decode-only support kept)
+JPEG_QUALITY = 98  # min PSNR ~42.5 dB on fixture content: margin over 40
 
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
@@ -84,26 +88,20 @@ def decode_png(data: bytes) -> np.ndarray:
     return rows[:, 1:].reshape(h, w, 3).copy()
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """STUB lossy codec (see module docstring). Deterministic."""
-    h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
-    q = (pixels.astype(np.int32) // _JPEG_QUANT).astype(np.uint8)
-    return (
-        _FAKEJPG_MAGIC
-        + struct.pack(">II", w, h)
-        + zlib.compress(q.tobytes(), 6)
-    )
+def encode_jpeg(pixels: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
+    """Real baseline JFIF encode (see :mod:`.jpeg`). Deterministic."""
+    return _jfif.encode_jpeg(pixels, quality=quality)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    if data[:8] != _FAKEJPG_MAGIC:
-        raise ValueError("not a FAKEJPG1 payload")
-    w, h = struct.unpack(">II", data[8:16])
-    q = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
-    # dequantize to bin centers, clipped to u8
-    px = q.astype(np.int32) * _JPEG_QUANT + _JPEG_QUANT // 2
-    return np.clip(px, 0, 255).astype(np.uint8).reshape(h, w, 3)
+    if data[:2] == b"\xff\xd8":
+        return _jfif.decode_jpeg(data)
+    if data[:8] == _FAKEJPG_MAGIC:  # legacy round-1..3 stub blobs
+        w, h = struct.unpack(">II", data[8:16])
+        q = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
+        px = q.astype(np.int32) * _JPEG_QUANT + _JPEG_QUANT // 2
+        return np.clip(px, 0, 255).astype(np.uint8).reshape(h, w, 3)
+    raise ValueError("not a JPEG (no SOI marker or legacy magic)")
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:

@@ -4,7 +4,7 @@ Schema (Lance-compatible Arrow; written as partitioned Parquet since the
 sandbox has no lance package -- ``read_image_table`` tries lance first):
 
     image_id: string   -- f"{feature}{ordinal}" like the reference ids
-    bytes:    binary   -- encoded image (real PNG / stub lossy codec)
+    bytes:    binary   -- encoded image (real PNG / real baseline JFIF)
     w, h:     int32
     fmt:      string   -- "png" | "jpeg"
     caption:  string   -- f"{feature} at {x:.3f} {y:.3f}"
@@ -91,10 +91,13 @@ def write_image_fixture(
     Written as ``part-XXXX.parquet`` shards; idempotent (skips if the
     manifest row count matches)."""
     os.makedirs(out_dir, exist_ok=True)
+    # marker carries a codec version: bumping it invalidates fixture dirs
+    # cached under /tmp by earlier rounds (jfif1 = real JPEG bitstreams)
     marker = os.path.join(out_dir, "_SUCCESS")
+    stamp = f"{n}:jfif1"
     if os.path.exists(marker):
         with open(marker) as f:
-            if f.read().strip() == str(n):
+            if f.read().strip() == stamp:
                 return out_dir
     rng = np.random.default_rng(seed)
     # skewed counts: geometric-ish profile, a few rare features
@@ -125,7 +128,9 @@ def write_image_fixture(
     # Arrays go through the object store ONCE; tasks slice by bounds.
     import ray as _ray
 
-    if len(ids) > 200_000 and _ray.is_initialized():
+    # real JPEG entropy coding is ~0.35 ms/row: fan out well before the
+    # old 200k threshold (20k rows ~ 4s serial, the break-even point)
+    if len(ids) > 20_000 and _ray.is_initialized():
         shard_task = _ray.remote(_write_image_shard)
         refs = [_ray.put(a) for a in (ids, feats, xs, ys)]
         _ray.get([
@@ -136,7 +141,7 @@ def write_image_fixture(
         for s, lo, hi in bounds:
             _write_image_shard(out_dir, s, lo, hi, img_size, ids, feats, xs, ys)
     with open(marker, "w") as f:
-        f.write(str(n))
+        f.write(stamp)
     return out_dir
 
 

@@ -37,9 +37,11 @@ def test_png_roundtrip_exact():
     assert np.array_equal(decode_png(encode_png(px)), px)
 
 
-def test_jpeg_stub_lossy_psnr():
+def test_jpeg_lossy_psnr():
     px = deterministic_pixels("X2", 16, 16)
-    out = decode_jpeg(encode_jpeg(px))
+    data = encode_jpeg(px)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"  # real JFIF
+    out = decode_jpeg(data)
     db = psnr(out, px)
     assert 40.0 <= db < 60.0  # genuinely lossy but above the invariant bar
     assert not np.array_equal(out, px)
