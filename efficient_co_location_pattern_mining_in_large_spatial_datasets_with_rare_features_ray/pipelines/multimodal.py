@@ -99,6 +99,204 @@ def resize_images(images: Dataset, target: int = 4, concurrency: int = 2) -> Dat
     )
 
 
+# ------------------------------------------------ perceptual hash (pHash)
+
+# 32-point orthonormal DCT-II basis for the classic pHash recipe:
+# luma -> 32x32 -> DCT -> top-left 8x8 minus DC -> median threshold.
+_PH_N = np.arange(32)
+_PH_D = np.cos((2 * _PH_N[None, :] + 1) * _PH_N[:, None] * np.pi / 64.0) * np.sqrt(
+    2.0 / 32.0
+)
+_PH_D[0, :] *= 1.0 / np.sqrt(2.0)
+_PH_LUMA = np.array([0.299, 0.587, 0.114])
+_PH_POW = (np.uint64(1) << np.arange(63, dtype=np.uint64)).astype(np.uint64)
+
+
+def phash64_pixels(px: np.ndarray) -> int:
+    """(h, w, 3) uint8 -> 63-bit perceptual hash (as unsigned int).
+    Measured on the fixture content: JPEG-re-encode of the same pixels
+    moves 0-6 bits; unrelated images differ by >= 18 bits."""
+    g = px.astype(np.float64) @ _PH_LUMA
+    h, w = g.shape
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    co = (_PH_D @ g[yi][:, xi] @ _PH_D.T)[0:8, 0:8].ravel()[1:]
+    bits = (co > np.median(co)).astype(np.uint64)
+    return int(bits @ _PH_POW)
+
+
+class PHash:
+    """Actor stage: decode each image and emit its perceptual hash.
+    Codec lookup tables are per-process state (built once, cached)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out = np.empty(len(blobs), dtype=np.uint64)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            out[i] = phash64_pixels(decode(blob, fmt))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "phash64": pa.array(out.view(np.int64)),
+            }
+        )
+
+
+def image_phash(images: Dataset, concurrency: int = 2) -> Dataset:
+    """image table -> (image_id, phash64:int64). The int64 column is the
+    two's-complement view of the unsigned 63-bit hash (Arrow-friendly)."""
+    return images.map_batches(
+        PHash, batch_format="pyarrow", batch_size=512,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array."""
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(len(x), 64)
+        .sum(axis=1)
+    )
+
+
+def phash_neardup(
+    images: Dataset,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    n_parts: int = 64,
+    concurrency: int = 2,
+) -> Dataset:
+    """Image near-duplicate pairs by pHash LSH: band the 64-bit hash into
+    ``n_bands`` equal slices, co-group rows sharing any (band, slice)
+    value, verify candidates by exact hamming distance <= ``max_hamming``,
+    and dedup pairs found via multiple bands.
+
+    Pigeonhole guarantee: any pair within ``n_bands - 1`` bits shares at
+    least one clean band, so with the defaults (8 bands x 8 bits) every
+    pair at hamming <= 7 is found EXACTLY -- no recall loss. Scale note:
+    8-bit band values give only 256 buckets per band, so at crawl scale
+    (>millions of rows) raise ``n_bands``' width by trading the guarantee
+    down (e.g. 4 bands x 16 bits catches <= 3 exactly) or shard hot
+    buckets; ``n_parts`` only caps exchange task count (buckets are
+    re-grouped exactly inside each part, so it never changes results).
+    """
+    from ..stages.exchange import static_group_exchange
+
+    hashes = image_phash(images, concurrency=concurrency)
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ph = np.asarray(t["phash64"].to_numpy()).view(np.uint64)
+        n = len(ph)
+        ids = pa.concat_arrays(
+            [t["image_id"].combine_chunks()] * n_bands
+        )
+        bucket = np.empty(n * n_bands, dtype=np.int64)
+        phr = np.tile(ph, n_bands)
+        for b in range(n_bands):
+            sl = (ph >> np.uint64(b * band_bits)) & mask
+            bucket[b * n : (b + 1) * n] = (b << band_bits) | sl.view(np.int64)
+        return pa.table(
+            {
+                "image_id": ids,
+                "phash64": pa.array(phr.view(np.int64)),
+                "bucket": pa.array(bucket),
+                "part": pa.array(bucket % n_parts),
+            }
+        )
+
+    bands = hashes.map_batches(expand, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [
+            ("id_a", pa.string()),
+            ("id_b", pa.string()),
+            ("hamming", pa.int64()),
+            ("pair_part", pa.int64()),
+        ]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows < 2:
+            return pair_schema.empty_table()
+        df = t.to_pandas()
+        out_a, out_b, out_d = [], [], []
+        # a part holds several exact buckets: pair only within a bucket
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            # bucket-mates sharing the SAME hash id are band-duplicates
+            # of one image row; drop exact id dups inside the bucket
+            g = g.drop_duplicates("image_id")
+            m = len(g)
+            if m < 2:
+                continue
+            ph = g["phash64"].to_numpy().view(np.uint64)
+            iu, ju = np.triu_indices(m, k=1)
+            d = _popcount64(np.bitwise_xor(ph[iu], ph[ju]))
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            ids = g["image_id"].to_numpy()
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            swap = a > b  # canonical order so cross-band dups collide
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            out_a.append(a2)
+            out_b.append(b2)
+            out_d.append(d[keep])
+        if not out_a:
+            return pair_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        d = np.concatenate(out_d).astype(np.int64)
+        part = (
+            pd.util.hash_array(
+                pd.Series(a).str.cat(pd.Series(b), sep="|").to_numpy(object)
+            )
+            % n_parts
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.string()),
+                "id_b": pa.array(b, pa.string()),
+                "hamming": pa.array(d),
+                "pair_part": pa.array(part),
+            }
+        )
+
+    cands = static_group_exchange(
+        bands, "part", n_parts, verify,
+        empty_schema=pair_schema, drop_empty=True,
+    )
+
+    out_schema = pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()), ("hamming", pa.int64())]
+    )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.table(
+            {
+                "id_a": pa.array(df["id_a"].to_numpy(), pa.string()),
+                "id_b": pa.array(df["id_b"].to_numpy(), pa.string()),
+                "hamming": pa.array(df["hamming"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return static_group_exchange(
+        cands, "pair_part", n_parts, dedup_pairs,
+        empty_schema=out_schema, drop_empty=True,
+    )
+
+
 def sample_video_frames(*_args, **_kwargs):
     """STUB: video frame sampling needs a real demuxer (not in this
     container). The distributed shape would be identical to Resize:

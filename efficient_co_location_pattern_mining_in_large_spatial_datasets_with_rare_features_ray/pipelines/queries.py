@@ -732,6 +732,90 @@ def q_embed_neardup_lsh(sf_dir: str) -> pa.Table:
     )
 
 
+# ----- image pHash family -------------------------------------------------
+
+def _phash_image_table(sf_dir: str, n_base: int, n_dups: int) -> pa.Table:
+    """Deterministic image table derived from the events table: every
+    (n_events // n_base)-th event id becomes an image whose pixels are
+    keyed by the id string, so the result depends on the actual sf input
+    (row count) and the committed goldens can be fingerprint-gated. Base
+    rows are PNG (hash of the exact pixels); the first ``n_dups`` ids
+    get a planted near-duplicate row — the SAME pixels re-encoded as
+    lossy JPEG, id suffixed '~j' — the realistic crawl-dedup scenario."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.image_codec import (
+        deterministic_pixels,
+        encode_jpeg,
+        encode_png,
+    )
+    from ..sources.images import IMAGE_SCHEMA
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path)
+        else [path]
+    )
+    n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    step = max(1, n_events // n_base)
+    rows = {k: [] for k in IMAGE_SCHEMA.names}
+
+    def add(iid, px, fmt):
+        rows["image_id"].append(iid)
+        rows["bytes"].append(encode_png(px) if fmt == "png" else encode_jpeg(px))
+        rows["w"].append(px.shape[1])
+        rows["h"].append(px.shape[0])
+        rows["fmt"].append(fmt)
+        rows["caption"].append(f"{iid} at 0.000 0.000")
+        rows["phash"].append(0)
+
+    for j in range(n_base):
+        eid = j * step
+        if eid >= n_events:
+            break
+        iid = f"E{eid}"
+        px = deterministic_pixels(iid, 16, 16)
+        add(iid, px, "png")
+        if j < n_dups:
+            add(iid + "~j", px, "jpeg")
+    return pa.table(rows, schema=IMAGE_SCHEMA)
+
+
+def q_image_phash(sf_dir: str) -> pa.Table:
+    """Distributed decode + perceptual hash over an image table (the
+    'document fingerprint' of the image world). Deterministic, so the
+    committed VALUES golden is its exact oracle."""
+    import ray.data
+
+    from . import multimodal
+
+    t = _phash_image_table(sf_dir, 256, 0)
+    # several input blocks so the decode actor pool actually fans out
+    parts = [t.slice(o, 64) for o in range(0, t.num_rows, 64)]
+    res = multimodal.image_phash(ray.data.from_arrow(parts), concurrency=2)
+    out = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return out.sort_by("image_id")
+
+
+def q_image_phash_neardup(sf_dir: str) -> pa.Table:
+    """pHash-LSH image near-dup: 48 planted JPEG re-encodes of PNG
+    originals must pair up (re-encode moves 0-6 bits, the 8x8-band LSH
+    catches <= 7 exactly); unrelated fixture images sit >= 18 bits apart,
+    so the expected output is exactly the planted pairs."""
+    import ray.data
+
+    from . import multimodal
+
+    t = _phash_image_table(sf_dir, 192, 48)
+    parts = [t.slice(o, 64) for o in range(0, t.num_rows, 64)]
+    res = multimodal.phash_neardup(ray.data.from_arrow(parts))
+    out = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 SQL_DOC_QUALITY = """WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
@@ -1097,6 +1181,8 @@ DATA_QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
+    "image_phash": q_image_phash,
+    "image_phash_neardup": q_image_phash_neardup,
 }
 
 
@@ -1142,6 +1228,15 @@ DATA_SQL = {
 # give the driver an exact comparison target; recall is separately
 # tested against the exact baseline (tests/test_similarity.py).
 for _n in ("ann_topk_lsh", "ann_topk_ivf"):
+    _g = _golden_sql(_n)
+    if _g:
+        DATA_SQL[_n] = _g
+
+# image_phash / image_phash_neardup: the hash of decoded pixels cannot
+# be restated in SQL, but the whole pipeline is deterministic -- the
+# committed VALUES goldens (gated on an events-table fingerprint) are
+# their exact oracles.
+for _n in ("image_phash", "image_phash_neardup"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

@@ -36,6 +36,47 @@ def input_fingerprint(sf_dir: str) -> str:
     return f"{n}:{s}"
 
 
+def events_guard(sf_dir: str) -> str:
+    """Boolean SQL guard for goldens whose input derives from the events
+    table (image pHash family): row count + sum(user_id) pin the exact
+    input the golden was generated from."""
+    import duckdb
+
+    n, s = duckdb.sql(
+        "SELECT count(*), CAST(sum(user_id) AS BIGINT) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    return f"count(*) = {n} AND CAST(sum(user_id) AS BIGINT) = {s}"
+
+
+def to_values_sql_guarded(t, float_cols: set[str], guard_expr: str,
+                          guard_table: str) -> str:
+    """VALUES golden guarded by an arbitrary boolean aggregate over
+    ``guard_table`` (same sentinel contract as to_values_sql)."""
+    cols = t.column_names
+    lines = []
+    for row in t.to_pylist():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if c in float_cols:
+                vals.append(f"CAST({v!r} AS DOUBLE)")
+            else:
+                vals.append(repr(v))
+        lines.append("  (" + ", ".join(vals) + ")")
+    collist = ", ".join(cols)
+    return (
+        "-- committed golden (deterministic output at sf0.01);\n"
+        "-- regenerate with tools/gen_value_goldens.py\n"
+        f"WITH fp AS (SELECT {guard_expr} AS ok FROM {guard_table})\n"
+        f"SELECT * FROM (VALUES\n" + ",\n".join(lines) + f"\n) AS t({collist})\n"
+        "WHERE (SELECT ok FROM fp)\n"
+        "UNION ALL\n"
+        f"SELECT {', '.join('-999999' for _ in cols)}\n"
+        "WHERE NOT (SELECT ok FROM fp)  -- GOLDEN_INPUT_MISMATCH sentinel"
+    )
+
+
 def to_values_sql(t, float_cols: set[str], fp: str) -> str:
     cols = t.column_names
     lines = []
@@ -88,6 +129,18 @@ def main() -> None:
     ):
         t = fn(SF_DIR)
         sql = to_values_sql(t, float_cols={"sim"}, fp=fp)
+        out = os.path.join(REPO, "goldens", f"{name}_sf001.sql")
+        with open(out, "w") as f:
+            f.write(sql)
+        print(f"wrote {out} ({t.num_rows} rows)")
+    guard = events_guard(SF_DIR)
+    for name, fn in (
+        ("image_phash", q.q_image_phash),
+        ("image_phash_neardup", q.q_image_phash_neardup),
+    ):
+        t = fn(SF_DIR)
+        sql = to_values_sql_guarded(t, float_cols=set(), guard_expr=guard,
+                                    guard_table="events")
         out = os.path.join(REPO, "goldens", f"{name}_sf001.sql")
         with open(out, "w") as f:
             f.write(sql)
