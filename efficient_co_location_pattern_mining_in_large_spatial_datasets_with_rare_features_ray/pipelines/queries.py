@@ -800,6 +800,21 @@ def q_image_phash(sf_dir: str) -> pa.Table:
     return out.sort_by("image_id")
 
 
+def q_image_stats(sf_dir: str) -> pa.Table:
+    """Distributed decode + per-image channel statistics (the
+    feature-extract step of an image pipeline), over the same derived
+    image table as image_phash. Deterministic -> VALUES golden."""
+    import ray.data
+
+    from . import multimodal
+
+    t = _phash_image_table(sf_dir, 256, 0)
+    parts = [t.slice(o, 64) for o in range(0, t.num_rows, 64)]
+    res = multimodal.decode_stats(ray.data.from_arrow(parts), concurrency=2)
+    out = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return out.sort_by("image_id")
+
+
 def q_image_phash_neardup(sf_dir: str) -> pa.Table:
     """pHash-LSH image near-dup: 48 planted JPEG re-encodes of PNG
     originals must pair up (re-encode moves 0-6 bits, the 8x8-band LSH
@@ -1183,6 +1198,7 @@ DATA_QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "image_phash": q_image_phash,
     "image_phash_neardup": q_image_phash_neardup,
+    "image_stats": q_image_stats,
 }
 
 
@@ -1236,7 +1252,7 @@ for _n in ("ann_topk_lsh", "ann_topk_ivf"):
 # be restated in SQL, but the whole pipeline is deterministic -- the
 # committed VALUES goldens (gated on an events-table fingerprint) are
 # their exact oracles.
-for _n in ("image_phash", "image_phash_neardup"):
+for _n in ("image_phash", "image_phash_neardup", "image_stats"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

@@ -102,6 +102,7 @@ def test_phash_queries_registered():
 
     assert "image_phash" in queries.DATA_QUERIES
     assert "image_phash_neardup" in queries.DATA_QUERIES
+    assert "image_stats" in queries.DATA_QUERIES and "image_stats" in queries.DATA_SQL
     # goldens are committed, so the SQL oracles must be installed
     assert "image_phash" in queries.DATA_SQL
     assert "image_phash_neardup" in queries.DATA_SQL

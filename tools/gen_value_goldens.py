@@ -134,12 +134,14 @@ def main() -> None:
             f.write(sql)
         print(f"wrote {out} ({t.num_rows} rows)")
     guard = events_guard(SF_DIR)
-    for name, fn in (
-        ("image_phash", q.q_image_phash),
-        ("image_phash_neardup", q.q_image_phash_neardup),
+    for name, fn, fcols in (
+        ("image_phash", q.q_image_phash, set()),
+        ("image_phash_neardup", q.q_image_phash_neardup, set()),
+        ("image_stats", q.q_image_stats,
+         {"mean_r", "mean_g", "mean_b", "std_gray"}),
     ):
         t = fn(SF_DIR)
-        sql = to_values_sql_guarded(t, float_cols=set(), guard_expr=guard,
+        sql = to_values_sql_guarded(t, float_cols=fcols, guard_expr=guard,
                                     guard_table="events")
         out = os.path.join(REPO, "goldens", f"{name}_sf001.sql")
         with open(out, "w") as f:
