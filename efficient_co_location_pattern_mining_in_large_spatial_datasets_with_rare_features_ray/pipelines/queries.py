@@ -800,6 +800,33 @@ def q_image_phash(sf_dir: str) -> pa.Table:
     return out.sort_by("image_id")
 
 
+def _mixture_rate(source: str) -> int:
+    """Per-source keep percentage for the mixture-weighting query:
+    10 + 17*N mod 80 for source 'srcN' (a fixed, SQL-restatable rule)."""
+    return 10 + (int(source[3:]) * 17) % 80
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic stratified sampling by source (mixture weighting).
+    Map-only, no shuffle; the md5-threshold predicate is restated
+    exactly in the SQL oracle."""
+    import ray.data
+
+    from . import sampling
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sampling.stratified_sample(
+        docs, "doc_id", "source", _mixture_rate
+    )
+
+
+SQL_DOC_SAMPLE = """SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8)) AS UBIGINT) % 100
+      < 10 + (CAST(substr(source, 4) AS BIGINT) * 17) % 80"""
+
+
 def q_image_stats(sf_dir: str) -> pa.Table:
     """Distributed decode + per-image channel statistics (the
     feature-extract step of an image pipeline), over the same derived
@@ -1199,6 +1226,7 @@ DATA_QUERIES = {
     "image_phash": q_image_phash,
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
+    "doc_sample": q_doc_sample,
 }
 
 
@@ -1236,6 +1264,7 @@ DATA_SQL = {
     # (per-pair miss ~1e-3; verified table-equal to the all-pairs op at
     # sf0.01), so it shares the exact op's SQL oracle
     "embed_neardup_lsh": SQL_EMBED_NEARDUP,
+    "doc_sample": SQL_DOC_SAMPLE,
 }
 
 # ann_topk_lsh / ann_topk_ivf: approximate by design (no SQL can restate

@@ -1,0 +1,77 @@
+"""Deterministic stratified sampling: per-stratum rates honored,
+run-to-run determinism, monotone (subset) behavior under rate raises."""
+
+import numpy as np
+import pyarrow as pa
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+    sampling,
+)
+
+
+def _table(n_per: int = 400, sources=("src0", "src1", "src2")) -> pa.Table:
+    ids, srcs = [], []
+    k = 0
+    for s in sources:
+        for _ in range(n_per):
+            ids.append(k)
+            srcs.append(s)
+            k += 1
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "source": pa.array(srcs, pa.string())})
+
+
+def test_rates_honored_and_deterministic(ray_session):
+    import ray.data
+
+    rates = {"src0": 10, "src1": 50, "src2": 90}
+    ds = ray.data.from_arrow(_table())
+    a = sampling.stratified_sample(
+        ds, "doc_id", "source", lambda s: rates[s]
+    ).to_pandas()
+    b = sampling.stratified_sample(
+        ds, "doc_id", "source", lambda s: rates[s]
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # deterministic
+    frac = a.groupby("source").size() / 400.0
+    for s, r in rates.items():
+        # md5 is uniform: observed fraction within +-12 points of target
+        assert abs(frac.get(s, 0.0) - r / 100.0) < 0.12, (s, frac.get(s))
+
+
+def test_raising_rate_keeps_superset(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_table(n_per=300, sources=("src0",)))
+    lo = set(
+        sampling.stratified_sample(ds, "doc_id", "source", lambda s: 20)
+        .to_pandas()["doc_id"]
+    )
+    hi = set(
+        sampling.stratified_sample(ds, "doc_id", "source", lambda s: 60)
+        .to_pandas()["doc_id"]
+    )
+    assert lo <= hi  # threshold predicate is monotone in the rate
+
+
+def test_zero_and_full_rates(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_table(n_per=50, sources=("src0",)))
+    assert (
+        sampling.stratified_sample(ds, "doc_id", "source", lambda s: 0).count()
+        == 0
+    )
+    assert (
+        sampling.stratified_sample(ds, "doc_id", "source", lambda s: 100).count()
+        == 50
+    )
+
+
+def test_doc_sample_registered():
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        queries,
+    )
+
+    assert "doc_sample" in queries.DATA_QUERIES
+    assert "doc_sample" in queries.DATA_SQL
