@@ -244,6 +244,25 @@ def run_bench() -> dict:
     )
     timed("ann_topk", lambda: similarity.ann_topk(emb, [0, 1, 2], k=10))
 
+    # image decode + perceptual hash over the full bench image table —
+    # the real JPEG/PNG decoders at fixture scale (decode is the cost;
+    # size the actor pool to the host, leave cores for the read stage)
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        multimodal,
+    )
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.images import (
+        read_image_table,
+    )
+
+    img_dir = image_fixture_dir(n_events)
+    images = read_image_table(img_dir, columns=["image_id", "bytes", "fmt"])
+    timed(
+        "image_phash",
+        lambda: multimodal.image_phash(
+            images, concurrency=max(2, NUM_CPUS * 3 // 4)
+        ).count(),
+    )
+
     headline = timings["colo_mine_images"]
     result = {
         "metric": "size-k co-location mining end-to-end wall time "
