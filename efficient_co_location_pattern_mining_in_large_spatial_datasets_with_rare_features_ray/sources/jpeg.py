@@ -221,41 +221,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    """Buffered MSB-first reader over an UNSTUFFED entropy segment."""
-
-    __slots__ = ("d", "i", "acc", "n")
-
-    def __init__(self, data: bytes):
-        self.d = data
-        self.i = 0
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self, need: int) -> None:
-        while self.n < need:
-            b = self.d[self.i] if self.i < len(self.d) else 0xFF  # 1-pad
-            self.i += 1
-            self.acc = (self.acc << 8) | b
-            self.n += 8
-
-    def peek16(self) -> int:
-        self._fill(16)
-        return (self.acc >> (self.n - 16)) & 0xFFFF
-
-    def skip(self, length: int) -> None:
-        self.n -= length
-        self.acc &= (1 << self.n) - 1
-
-    def read(self, length: int) -> int:
-        if length == 0:
-            return 0
-        self._fill(length)
-        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
-        self.skip(length)
-        return v
-
-
 # --------------------------------------------------------- color / DCT
 
 
@@ -435,52 +400,95 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
 
 # -------------------------------------------------------------- decoder
 
+_LUT_LIST_CACHE: dict[tuple, tuple[list, list]] = {}
 
-def _decode_block(
-    br: _BitReader,
-    dc_lut: tuple[np.ndarray, np.ndarray],
-    ac_lut: tuple[np.ndarray, np.ndarray],
-    pred: int,
-    out: np.ndarray,
-) -> int:
-    """Decode one block's zigzag coefficients into ``out`` (len-64)."""
-    sym, ln = dc_lut
-    p = br.peek16()
-    s = int(sym[p])
-    if s < 0:
-        raise ValueError("invalid DC Huffman code")
-    br.skip(int(ln[p]))
-    if s:
-        v = br.read(s)
-        if v < (1 << (s - 1)):
-            v -= (1 << s) - 1
-    else:
-        v = 0
-    dc = pred + v
-    out[0] = dc
-    sym, ln = ac_lut
-    k = 1
-    while k < 64:
-        p = br.peek16()
-        rs = int(sym[p])
-        if rs < 0:
-            raise ValueError("invalid AC Huffman code")
-        br.skip(int(ln[p]))
-        if rs == 0x00:  # EOB
-            break
-        if rs == 0xF0:  # ZRL
-            k += 16
-            continue
-        run, size = rs >> 4, rs & 0x0F
-        k += run
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        v = br.read(size)
-        if v < (1 << (size - 1)):
-            v -= (1 << size) - 1
-        out[k] = v
-        k += 1
-    return dc
+
+def _decode_lut_lists(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """The 16-bit-peek LUTs as plain Python lists: scalar list indexing
+    is ~3x faster than numpy scalar indexing in the bit-serial loop."""
+    key = (bits, vals)
+    hit = _LUT_LIST_CACHE.get(key)
+    if hit is None:
+        sym, ln = _decode_lut(bits, vals)
+        hit = (sym.tolist(), ln.tolist())
+        _LUT_LIST_CACHE[key] = hit
+    return hit
+
+
+def _decode_scan(scan: bytes, comp_luts: list, n_mcus: int) -> list[np.ndarray]:
+    """Fused entropy decode of a whole interleaved 4:4:4 scan: one
+    function with local-integer bit state (no per-symbol method calls).
+    Returns three (n_mcus, 64) int64 arrays of zigzag coefficients."""
+    out = [[0] * (n_mcus * 64) for _ in range(3)]
+    d = scan
+    dn = len(d)
+    acc = 0  # bit accumulator, top `nb` bits valid
+    nb = 0
+    ip = 0  # next byte index (reads past the end pad with 1-bits)
+    preds = [0, 0, 0]
+    for m in range(n_mcus):
+        base = m * 64
+        for ci in range(3):
+            dsym, dln, asym, aln = comp_luts[ci]
+            o = out[ci]
+            while nb < 16:
+                acc = (acc << 8) | (d[ip] if ip < dn else 0xFF)
+                ip += 1
+                nb += 8
+            p = (acc >> (nb - 16)) & 0xFFFF
+            s = dsym[p]
+            if s < 0:
+                raise ValueError("invalid DC Huffman code")
+            nb -= dln[p]
+            if s:
+                while nb < s:
+                    acc = (acc << 8) | (d[ip] if ip < dn else 0xFF)
+                    ip += 1
+                    nb += 8
+                v = (acc >> (nb - s)) & ((1 << s) - 1)
+                nb -= s
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+            else:
+                v = 0
+            dc = preds[ci] + v
+            preds[ci] = dc
+            o[base] = dc
+            acc &= (1 << nb) - 1
+            k = 1
+            while k < 64:
+                while nb < 16:
+                    acc = (acc << 8) | (d[ip] if ip < dn else 0xFF)
+                    ip += 1
+                    nb += 8
+                p = (acc >> (nb - 16)) & 0xFFFF
+                rs = asym[p]
+                if rs < 0:
+                    raise ValueError("invalid AC Huffman code")
+                nb -= aln[p]
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    acc &= (1 << nb) - 1
+                    continue
+                size = rs & 0x0F
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                while nb < size:
+                    acc = (acc << 8) | (d[ip] if ip < dn else 0xFF)
+                    ip += 1
+                    nb += 8
+                v = (acc >> (nb - size)) & ((1 << size) - 1)
+                nb -= size
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                o[base + k] = v
+                k += 1
+                acc &= (1 << nb) - 1
+            acc &= (1 << nb) - 1
+    return [np.array(o, dtype=np.int64).reshape(n_mcus, 64) for o in out]
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -565,21 +573,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     h8, w8 = (h + 7) & ~7, (w + 7) & ~7
     n_mcus = (h8 // 8) * (w8 // 8)
-    br = _BitReader(scan)
-    luts = [
-        (
-            _decode_lut(*htables[(0, comp_h[ci][0])]),
-            _decode_lut(*htables[(1, comp_h[ci][1])]),
-        )
+    comp_luts = [
+        _decode_lut_lists(*htables[(0, comp_h[ci][0])])
+        + _decode_lut_lists(*htables[(1, comp_h[ci][1])])
         for ci in range(3)
     ]
-    zz = [np.zeros((n_mcus, 64), dtype=np.int64) for _ in range(3)]
-    preds = [0, 0, 0]
-    for m in range(n_mcus):
-        for ci in range(3):
-            preds[ci] = _decode_block(
-                br, luts[ci][0], luts[ci][1], preds[ci], zz[ci][m]
-            )
+    zz = _decode_scan(scan, comp_luts, n_mcus)
 
     planes = []
     for ci in range(3):
