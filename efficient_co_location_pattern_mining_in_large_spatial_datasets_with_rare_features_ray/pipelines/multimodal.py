@@ -163,8 +163,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def phash_neardup(
     images: Dataset,
-    max_hamming: int = 7,
-    n_bands: int = 8,
+    max_hamming: int | None = None,
+    n_bands: int | None = None,
     n_parts: int = 64,
     concurrency: int = 2,
 ) -> Dataset:
@@ -174,17 +174,27 @@ def phash_neardup(
     and dedup pairs found via multiple bands.
 
     Pigeonhole guarantee: any pair within ``n_bands - 1`` bits shares at
-    least one clean band, so with the defaults (8 bands x 8 bits) every
-    pair at hamming <= 7 is found EXACTLY -- no recall loss. Scale note:
-    8-bit band values give only 256 buckets per band, so at crawl scale
-    (>millions of rows) raise ``n_bands``' width by trading the guarantee
-    down (e.g. 4 bands x 16 bits catches <= 3 exactly) or shard hot
-    buckets; ``n_parts`` only caps exchange task count (buckets are
-    re-grouped exactly inside each part, so it never changes results).
-    """
+    least one clean band, so 8 bands x 8 bits finds every pair at
+    hamming <= 7 EXACTLY -- no recall loss. But 8-bit band values give
+    only 256 buckets per band, so unrelated rows collide ~n/256 per
+    bucket and the per-bucket O(|g|^2) verify blows up at crawl scale.
+    Defaults therefore auto-scale (the classic SimHash-dedup tradeoff):
+    n <= 50k rows -> 8 bands x 8 bits, exact at <= 7; larger -> 4 bands
+    x 16 bits, exact at <= 3 (expected bucket size n/65536 -- the
+    production configuration for web-dedup hamming radii). Pass
+    ``n_bands``/``max_hamming`` explicitly to override. ``n_parts`` only
+    caps exchange task count (buckets are re-grouped exactly inside each
+    part, so it never changes results)."""
     from ..stages.exchange import static_group_exchange
 
     hashes = image_phash(images, concurrency=concurrency)
+    if n_bands is None:
+        # auto tier needs n: hashes is a tiny (id, int64) table -- a
+        # materialize here also stops the band expansion re-decoding
+        hashes = hashes.materialize()
+        n_bands = 8 if hashes.count() <= 50_000 else 4
+    if max_hamming is None:
+        max_hamming = n_bands - 1
     band_bits = 64 // n_bands
     mask = np.uint64((1 << band_bits) - 1)
 
