@@ -90,6 +90,31 @@ def test_png_roundtrip_random_dims(w, h):
     assert np.array_equal(decode_png(encode_png(px)), px)
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_jpeg_roundtrip_random_content(w, h, seed):
+    """Any shape, arbitrary pixel content (incl. pure noise — the
+    worst case for DCT quantization): decode(encode(px)) keeps the
+    shape and clears the 40 dB invariant at the default quality."""
+    import numpy as _np
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.image_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        psnr,
+    )
+
+    rng = _np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=_np.uint8)
+    out = decode_jpeg(encode_jpeg(px))
+    assert out.shape == (h, w, 3)
+    assert psnr(out, px) >= 40.0
+
+
 def test_png_crc_corruption_detected():
     """Regression: a flipped byte anywhere in the stream (including the
     CRC fields the decoder previously ignored) must fail decode."""
