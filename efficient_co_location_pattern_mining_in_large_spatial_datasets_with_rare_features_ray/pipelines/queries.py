@@ -827,6 +827,29 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1,
       < 10 + (CAST(substr(source, 4) AS BIGINT) * 17) % 80"""
 
 
+def q_docs_topk_per_source(sf_dir: str):
+    """Top-3 longest documents per source (grouped top-k / window-rank
+    operator; partial per-block prune before the shuffle)."""
+    import ray.data
+
+    from . import rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return rank.grouped_topk(
+        docs, ["source"], "n_chars", k=3, tie_col="doc_id"
+    )
+
+
+SQL_DOCS_TOPK = """SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3"""
+
+
 def q_image_stats(sf_dir: str) -> pa.Table:
     """Distributed decode + per-image channel statistics (the
     feature-extract step of an image pipeline), over the same derived
@@ -1227,6 +1250,7 @@ DATA_QUERIES = {
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
     "doc_sample": q_doc_sample,
+    "docs_topk_per_source": q_docs_topk_per_source,
 }
 
 
@@ -1265,6 +1289,7 @@ DATA_SQL = {
     # sf0.01), so it shares the exact op's SQL oracle
     "embed_neardup_lsh": SQL_EMBED_NEARDUP,
     "doc_sample": SQL_DOC_SAMPLE,
+    "docs_topk_per_source": SQL_DOCS_TOPK,
 }
 
 # ann_topk_lsh / ann_topk_ivf: approximate by design (no SQL can restate
