@@ -189,10 +189,27 @@ def phash_neardup(
 
     hashes = image_phash(images, concurrency=concurrency)
     if n_bands is None:
-        # auto tier needs n: hashes is a tiny (id, int64) table -- a
-        # materialize here also stops the band expansion re-decoding
-        hashes = hashes.materialize()
-        n_bands = 8 if hashes.count() <= 50_000 else 4
+        if max_hamming is not None:
+            # an explicit radius overrides the size tier: pick the
+            # smallest band count that keeps the pigeonhole guarantee
+            if max_hamming > 15:
+                raise ValueError(
+                    f"max_hamming={max_hamming} needs > 16 bands of < 4 "
+                    "bits — bucket values would be near-constant; use a "
+                    "multi-index or cascade instead"
+                )
+            n_bands = next(b for b in (4, 8, 16) if b - 1 >= max_hamming)
+        else:
+            # auto tier needs n: hashes is a tiny (id, int64) table -- a
+            # materialize here also stops the band expansion re-decoding
+            hashes = hashes.materialize()
+            n_bands = 8 if hashes.count() <= 50_000 else 4
+    elif max_hamming is not None and max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"of n_bands={n_bands} (exact only to {n_bands - 1}); raise "
+            "n_bands or lower max_hamming"
+        )
     if max_hamming is None:
         max_hamming = n_bands - 1
     band_bits = 64 // n_bands

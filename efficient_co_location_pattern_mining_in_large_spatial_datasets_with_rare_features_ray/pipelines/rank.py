@@ -36,7 +36,9 @@ def grouped_topk(
             return df
         return (
             df.sort_values(by, ascending=asc)
-            .groupby(group_cols, sort=False)
+            # dropna=False: null group keys form their own group, like
+            # SQL's PARTITION BY (Ray's groupby keeps them too)
+            .groupby(group_cols, sort=False, dropna=False)
             .head(k)
         )
 

@@ -168,12 +168,14 @@ def _canonical_codes(bits: list[int], vals: list[int]):
     return codes
 
 
-_LUT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+_LUT_CACHE: dict[tuple, tuple[list, list]] = {}
 
 
-def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
+def _decode_lut_lists(bits: tuple[int, ...], vals: tuple[int, ...]):
     """16-bit-peek lookup tables: for every 16-bit window, the decoded
-    symbol and its code length. Built once per distinct table, cached."""
+    symbol and its code length. Built once per distinct table (numpy
+    slice-fill), cached as plain Python lists — scalar list indexing is
+    ~3x faster than numpy scalar indexing in the bit-serial loop."""
     key = (bits, vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
@@ -186,8 +188,9 @@ def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
         hi = lo + (1 << (16 - length))
         sym[lo:hi] = value
         ln[lo:hi] = length
-    _LUT_CACHE[key] = (sym, ln)
-    return sym, ln
+    hit = (sym.tolist(), ln.tolist())
+    _LUT_CACHE[key] = hit
+    return hit
 
 
 # ------------------------------------------------------------- bit I/O
@@ -400,21 +403,6 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
 
 # -------------------------------------------------------------- decoder
 
-_LUT_LIST_CACHE: dict[tuple, tuple[list, list]] = {}
-
-
-def _decode_lut_lists(bits: tuple[int, ...], vals: tuple[int, ...]):
-    """The 16-bit-peek LUTs as plain Python lists: scalar list indexing
-    is ~3x faster than numpy scalar indexing in the bit-serial loop."""
-    key = (bits, vals)
-    hit = _LUT_LIST_CACHE.get(key)
-    if hit is None:
-        sym, ln = _decode_lut(bits, vals)
-        hit = (sym.tolist(), ln.tolist())
-        _LUT_LIST_CACHE[key] = hit
-    return hit
-
-
 def _decode_scan(scan: bytes, comp_luts: list, n_mcus: int) -> list[np.ndarray]:
     """Fused entropy decode of a whole interleaved 4:4:4 scan: one
     function with local-integer bit state (no per-symbol method calls).
@@ -473,6 +461,8 @@ def _decode_scan(scan: bytes, comp_luts: list, n_mcus: int) -> list[np.ndarray]:
                     acc &= (1 << nb) - 1
                     continue
                 size = rs & 0x0F
+                if size == 0:  # only EOB (0x00) / ZRL (0xF0) may carry 0
+                    raise ValueError(f"invalid AC run/size symbol {rs:#04x}")
                 k += rs >> 4
                 if k > 63:
                     raise ValueError("AC run past end of block")
@@ -507,10 +497,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # spec-legal fill bytes: any number of 0xFF may pad before the
+        # marker id (T.81 B.1.1.2)
+        while pos < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # TEM / RSTn / stray SOI: standalone, no length field
         (seglen,) = (int.from_bytes(data[pos : pos + 2], "big"),)
         payload = data[pos + 2 : pos + seglen]
         pos += seglen

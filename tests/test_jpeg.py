@@ -116,3 +116,25 @@ def test_zrl_and_eob_paths():
     px[7, 7] = 255  # single hot pixel -> long zero runs in zigzag
     out = J.decode_jpeg(J.encode_jpeg(px, quality=50))
     assert out.shape == (8, 8, 3)
+
+
+def test_fill_bytes_and_rst_markers_tolerated():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    px = deterministic_pixels("FB", 8, 8)
+    data = J.encode_jpeg(px)
+    sof = data.index(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff" + data[sof:]
+    assert psnr(J.decode_jpeg(padded), px) >= 40.0
+
+
+def test_invalid_ac_symbol_message():
+    # guard in the scan loop: a run/size symbol with size 0 that is not
+    # EOB/ZRL must raise a decode error, not a negative-shift crash
+    luts = (
+        [0x30] * (1 << 16),  # dsym: always "size 0, run 3" -> invalid
+        [2] * (1 << 16),
+        [0x30] * (1 << 16),
+        [2] * (1 << 16),
+    )
+    with pytest.raises(ValueError):
+        J._decode_scan(b"\x00" * 8, [luts, luts, luts], 1)

@@ -107,3 +107,17 @@ def test_phash_queries_registered():
     assert "image_phash" in queries.DATA_SQL
     assert "image_phash_neardup" in queries.DATA_SQL
     assert "GOLDEN_INPUT_MISMATCH" in queries.DATA_SQL["image_phash"]
+
+
+def test_phash_neardup_param_validation(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_planted_table(4, 0))
+    with pytest.raises(ValueError):
+        multimodal.phash_neardup(ds, max_hamming=10, n_bands=8).count()
+    with pytest.raises(ValueError):
+        multimodal.phash_neardup(ds, max_hamming=40).count()
+    # explicit radius with auto bands: picks a band count that keeps
+    # the pigeonhole guarantee (here 16 bands for <= 15)
+    res = multimodal.phash_neardup(ds, max_hamming=12, n_parts=4)
+    assert res.count() == 0  # unrelated fixture images stay apart

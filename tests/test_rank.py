@@ -63,3 +63,21 @@ def test_topk_query_registered():
 
     assert "docs_topk_per_source" in queries.DATA_QUERIES
     assert "docs_topk_per_source" in queries.DATA_SQL
+
+
+def test_grouped_topk_keeps_null_group(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", None, None, "a", None]),
+            "v": pa.array([5, 9, 7, 1, 3], pa.int64()),
+            "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    got = rank.grouped_topk(
+        ray.data.from_arrow(t), ["g"], "v", k=2, tie_col="id"
+    ).to_pandas()
+    # SQL PARTITION BY keeps a NULL partition: top-2 of the null group
+    null_rows = got[got["g"].isna()]
+    assert sorted(null_rows["id"]) == [1, 2]

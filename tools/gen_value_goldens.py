@@ -49,10 +49,9 @@ def events_guard(sf_dir: str) -> str:
     return f"count(*) = {n} AND CAST(sum(user_id) AS BIGINT) = {s}"
 
 
-def to_values_sql_guarded(t, float_cols: set[str], guard_expr: str,
-                          guard_table: str) -> str:
-    """VALUES golden guarded by an arbitrary boolean aggregate over
-    ``guard_table`` (same sentinel contract as to_values_sql)."""
+def _guarded_values_sql(t, float_cols: set[str], fp_cte: str) -> str:
+    """Shared body of every golden: VALUES literal + the loud
+    GOLDEN_INPUT_MISMATCH sentinel, behind the given fp CTE guard."""
     cols = t.column_names
     lines = []
     for row in t.to_pylist():
@@ -65,10 +64,11 @@ def to_values_sql_guarded(t, float_cols: set[str], guard_expr: str,
                 vals.append(repr(v))
         lines.append("  (" + ", ".join(vals) + ")")
     collist = ", ".join(cols)
+    # guard: the golden is ONLY a valid oracle for the exact input it was
+    # generated from. On any other input the SQL yields a single loud
+    # sentinel row instead of silently comparing against the wrong oracle.
     return (
-        "-- committed golden (deterministic output at sf0.01);\n"
-        "-- regenerate with tools/gen_value_goldens.py\n"
-        f"WITH fp AS (SELECT {guard_expr} AS ok FROM {guard_table})\n"
+        fp_cte + "\n"
         f"SELECT * FROM (VALUES\n" + ",\n".join(lines) + f"\n) AS t({collist})\n"
         "WHERE (SELECT ok FROM fp)\n"
         "UNION ALL\n"
@@ -77,35 +77,32 @@ def to_values_sql_guarded(t, float_cols: set[str], guard_expr: str,
     )
 
 
+def to_values_sql_guarded(t, float_cols: set[str], guard_expr: str,
+                          guard_table: str) -> str:
+    """VALUES golden guarded by an arbitrary boolean aggregate over
+    ``guard_table`` (same sentinel contract as to_values_sql)."""
+    return (
+        "-- committed golden (deterministic output at sf0.01);\n"
+        "-- regenerate with tools/gen_value_goldens.py\n"
+        + _guarded_values_sql(
+            t, float_cols,
+            f"WITH fp AS (SELECT {guard_expr} AS ok FROM {guard_table})",
+        )
+    )
+
+
 def to_values_sql(t, float_cols: set[str], fp: str) -> str:
-    cols = t.column_names
-    lines = []
-    for row in t.to_pylist():
-        vals = []
-        for c in cols:
-            v = row[c]
-            if c in float_cols:
-                vals.append(f"CAST({v!r} AS DOUBLE)")
-            else:
-                vals.append(repr(v))
-        lines.append("  (" + ", ".join(vals) + ")")
-    collist = ", ".join(cols)
-    n, s = fp.split(":")
-    # guard: the golden is ONLY a valid oracle for the exact input it was
-    # generated from. On any other input the SQL yields a single loud
-    # sentinel row instead of silently comparing against the wrong oracle.
+    n, sm = fp.split(":")
     return (
         "-- committed golden (deterministic fixed-seed output at sf0.01);\n"
         "-- regenerate with tools/gen_value_goldens.py\n"
         f"-- input-fingerprint {fp}\n"
-        "WITH fp AS (SELECT count(*) = " + n
-        + " AND round(sum(list_aggregate(embedding, 'sum')), 3) = " + s
-        + " AS ok FROM embeddings)\n"
-        f"SELECT * FROM (VALUES\n" + ",\n".join(lines) + f"\n) AS t({collist})\n"
-        "WHERE (SELECT ok FROM fp)\n"
-        "UNION ALL\n"
-        f"SELECT {', '.join('-999999' for _ in cols)}\n"
-        "WHERE NOT (SELECT ok FROM fp)  -- GOLDEN_INPUT_MISMATCH sentinel"
+        + _guarded_values_sql(
+            t, float_cols,
+            "WITH fp AS (SELECT count(*) = " + n
+            + " AND round(sum(list_aggregate(embedding, 'sum')), 3) = " + sm
+            + " AS ok FROM embeddings)",
+        )
     )
 
 
