@@ -865,6 +865,41 @@ def q_image_stats(sf_dir: str) -> pa.Table:
     return out.sort_by("image_id")
 
 
+def q_image_resize(sf_dir: str) -> pa.Table:
+    """Distributed resize (decode -> nearest-neighbor downsample ->
+    re-encode PNG) over the derived image table. The binary output
+    column is summarized as crc32 so the deterministic VALUES golden
+    pins the exact re-encoded bytes end to end."""
+    import zlib
+
+    import ray.data
+
+    from . import multimodal
+
+    t = _phash_image_table(sf_dir, 128, 0)
+    parts = [t.slice(o, 64) for o in range(0, t.num_rows, 64)]
+    res = multimodal.resize_images(
+        ray.data.from_arrow(parts), target=8, concurrency=2
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        crc = [zlib.crc32(x) for x in b["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "w": b["w"],
+                "h": b["h"],
+                "fmt": b["fmt"],
+                "crc32": pa.array(crc, pa.int64()),
+            }
+        )
+
+    out = res.map_batches(summarize, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by(
+        "image_id"
+    )
+
+
 def q_image_phash_neardup(sf_dir: str) -> pa.Table:
     """pHash-LSH image near-dup: 48 planted JPEG re-encodes of PNG
     originals must pair up (re-encode moves 0-6 bits, the 8x8-band LSH
@@ -1251,6 +1286,7 @@ DATA_QUERIES = {
     "image_stats": q_image_stats,
     "doc_sample": q_doc_sample,
     "docs_topk_per_source": q_docs_topk_per_source,
+    "image_resize": q_image_resize,
 }
 
 
@@ -1306,7 +1342,7 @@ for _n in ("ann_topk_lsh", "ann_topk_ivf"):
 # be restated in SQL, but the whole pipeline is deterministic -- the
 # committed VALUES goldens (gated on an events-table fingerprint) are
 # their exact oracles.
-for _n in ("image_phash", "image_phash_neardup", "image_stats"):
+for _n in ("image_phash", "image_phash_neardup", "image_stats", "image_resize"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

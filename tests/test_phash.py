@@ -121,3 +121,12 @@ def test_phash_neardup_param_validation(ray_session):
     # the pigeonhole guarantee (here 16 bands for <= 15)
     res = multimodal.phash_neardup(ds, max_hamming=12, n_parts=4)
     assert res.count() == 0  # unrelated fixture images stay apart
+
+
+def test_image_resize_query_registered():
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        queries,
+    )
+
+    assert "image_resize" in queries.DATA_QUERIES
+    assert "image_resize" in queries.DATA_SQL

@@ -136,6 +136,7 @@ def main() -> None:
         ("image_phash_neardup", q.q_image_phash_neardup, set()),
         ("image_stats", q.q_image_stats,
          {"mean_r", "mean_g", "mean_b", "std_gray"}),
+        ("image_resize", q.q_image_resize, set()),
     ):
         t = fn(SF_DIR)
         sql = to_values_sql_guarded(t, float_cols=fcols, guard_expr=guard,
