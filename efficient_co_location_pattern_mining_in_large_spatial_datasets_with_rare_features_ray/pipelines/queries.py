@@ -850,6 +850,29 @@ SQL_DOCS_TOPK = """SELECT doc_id, source, n_chars FROM (
 ) WHERE rn <= 3"""
 
 
+def q_embed_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization (map-only, reduceat-
+    vectorized); scale + code checksums restated exactly in SQL."""
+    from . import similarity
+
+    return similarity.quantize_int8(_embeddings(sf_dir))
+
+
+SQL_EMBED_QUANTIZE = """SELECT vec_id,
+       round(list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0, 9) AS scale,
+       CAST(CASE WHEN m = 0 THEN 0 ELSE list_aggregate(list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)), 'sum') END AS BIGINT) AS q_sum,
+       CAST(CASE WHEN m = 0 THEN 0 ELSE list_aggregate(list_transform(embedding,
+            x -> abs(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))), 'sum') END AS BIGINT) AS q_abs_sum
+FROM (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+  FROM embeddings
+)"""
+
+
 def q_image_stats(sf_dir: str) -> pa.Table:
     """Distributed decode + per-image channel statistics (the
     feature-extract step of an image pipeline), over the same derived
@@ -1287,6 +1310,7 @@ DATA_QUERIES = {
     "doc_sample": q_doc_sample,
     "docs_topk_per_source": q_docs_topk_per_source,
     "image_resize": q_image_resize,
+    "embed_quantize": q_embed_quantize,
 }
 
 
@@ -1326,6 +1350,7 @@ DATA_SQL = {
     "embed_neardup_lsh": SQL_EMBED_NEARDUP,
     "doc_sample": SQL_DOC_SAMPLE,
     "docs_topk_per_source": SQL_DOCS_TOPK,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
 }
 
 # ann_topk_lsh / ann_topk_ivf: approximate by design (no SQL can restate

@@ -577,3 +577,40 @@ def lsh_bucket_topk(
     return _probe_partitioned(
         bucketed, "bucket", wanted, qids, qn, k, stats=stats
     )
+
+
+def quantize_int8(embeddings: Dataset) -> Dataset:
+    """Symmetric int8 quantization of an embedding column (the standard
+    4x compression of a vector store before ANN serving): per-vector
+    scale = max(|v|)/127, q_i = floor(v_i/scale + 0.5). Map-only and
+    vectorized via reduceat over the flattened list column — no Python
+    loop over rows, no shuffle. Emits per-vector integrity checksums
+    (sum and |.|-sum of the quantized codes) instead of the code bytes
+    so the SQL oracle can restate the op exactly; arithmetic is forced
+    to float64 on both sides (float32 -> float64 is exact) for bit
+    parity with DuckDB DOUBLE."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        offs = arr.offsets.to_numpy()
+        flat = arr.flatten().to_numpy().astype(np.float64)
+        widths = np.diff(offs)
+        if (widths <= 0).any():
+            raise ValueError("empty embedding row")
+        m = np.maximum.reduceat(np.abs(flat), offs[:-1])
+        mexp = np.repeat(m, widths)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / mexp + 0.5)
+        q[mexp == 0.0] = 0.0  # all-zero vector -> all-zero codes
+        q_sum = np.add.reduceat(q, offs[:-1]).astype(np.int64)
+        q_abs = np.add.reduceat(np.abs(q), offs[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "scale": pa.array(np.round(m / 127.0, 9)),
+                "q_sum": pa.array(q_sum),
+                "q_abs_sum": pa.array(q_abs),
+            }
+        )
+
+    return embeddings.map_batches(fn, batch_format="pyarrow")

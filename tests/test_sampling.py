@@ -75,3 +75,36 @@ def test_doc_sample_registered():
 
     assert "doc_sample" in queries.DATA_QUERIES
     assert "doc_sample" in queries.DATA_SQL
+
+
+def test_embed_quantize_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        similarity,
+    )
+
+    vecs = [[0.5, -1.0, 0.25, 0.0], [2.0, 2.0, -2.0, 2.0], [0.0, 0.0, 0.0, 0.0]]
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    got = (
+        similarity.quantize_int8(ray.data.from_arrow(t))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # row 0: scale 1/127; codes floor(v*127 + 0.5) = [64, -127, 32, 0]
+    assert got.loc[0, "q_sum"] == 64 - 127 + 32
+    assert got.loc[0, "q_abs_sum"] == 64 + 127 + 32
+    # row 1: all +-127
+    assert got.loc[1, "q_sum"] == 127 * 2 and got.loc[1, "q_abs_sum"] == 127 * 4
+    # all-zero vector: scale 0, codes 0 (no NaN / div-by-zero leak)
+    assert got.loc[2, "scale"] == 0.0 and got.loc[2, "q_abs_sum"] == 0
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        queries,
+    )
+
+    assert "embed_quantize" in queries.DATA_QUERIES
+    assert "embed_quantize" in queries.DATA_SQL
