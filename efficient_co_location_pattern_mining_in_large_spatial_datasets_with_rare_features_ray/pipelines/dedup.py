@@ -61,10 +61,17 @@ def _exchange_pandas(
     )
 
 
-def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
-    """One row per distinct text: (doc_id = min over copies, n_copies).
+def exact_dedup(
+    docs: Dataset, n_buckets: int = 64, keep: str = "first"
+) -> Dataset:
+    """One row per distinct text: (doc_id, n_copies). ``keep`` picks the
+    survivor among the copies -- "first" (min doc_id, the default) or
+    "latest" (max doc_id; the crawl-snapshot policy: newest wins).
     Hash-bucket shuffle + exact text grouping inside the bucket (hash
     collisions are resolved by the inner exact groupby)."""
+    if keep not in ("first", "latest"):
+        raise ValueError(f"keep must be 'first' or 'latest', got {keep!r}")
+    agg = "min" if keep == "first" else "max"
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "text"]].copy()
@@ -80,8 +87,8 @@ def exact_dedup(docs: Dataset, n_buckets: int = 64) -> Dataset:
         # coarse bucket -> exact text groupby INSIDE (vectorized pandas);
         # never one Ray group per distinct text
         g = df.groupby("text", sort=False)["doc_id"]
-        out = g.agg(["min", "size"]).reset_index(drop=True)
-        return out.rename(columns={"min": "doc_id", "size": "n_copies"})
+        out = g.agg([agg, "size"]).reset_index(drop=True)
+        return out.rename(columns={agg: "doc_id", "size": "n_copies"})
 
     return _exchange_pandas(
         docs.map_batches(add_bucket, batch_format="pandas"),

@@ -654,6 +654,15 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
     return ds.select_columns(["doc_id", "n_copies"])
 
 
+def q_dedup_exact_latest(sf_dir: str) -> Dataset:
+    """Exact dedup keeping the NEWEST copy (max doc_id) per distinct
+    text — the crawl-snapshot survivor policy."""
+    from . import dedup as dedup_pipe
+
+    ds = dedup_pipe.exact_dedup(_docs(sf_dir), keep="latest")
+    return ds.select_columns(["doc_id", "n_copies"])
+
+
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     from . import dedup as dedup_pipe
 
@@ -968,6 +977,9 @@ SQL_TOKEN_TOTALS = """SELECT source,
 FROM documents GROUP BY source"""
 
 SQL_DEDUP_EXACT = """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text"""
+
+SQL_DEDUP_EXACT_LATEST = """SELECT max(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text"""
 
 # same whitespace tokenization as SQL_TOKEN_TOTALS (trim + \s+ split ==
@@ -1296,6 +1308,7 @@ DATA_QUERIES = {
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_latest": q_dedup_exact_latest,
     "dedup_minhash_lsh": q_minhash_neardup,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_pairs,
@@ -1336,6 +1349,7 @@ DATA_SQL = {
     "token_topk": SQL_TOKEN_TOPK,
     "bigram_topk": SQL_BIGRAM_TOPK,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_latest": SQL_DEDUP_EXACT_LATEST,
     "ann_topk": SQL_ANN_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "doc_langid": SQL_LANGID,

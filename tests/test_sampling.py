@@ -108,3 +108,34 @@ def test_embed_quantize_matches_reference(ray_session):
 
     assert "embed_quantize" in queries.DATA_QUERIES
     assert "embed_quantize" in queries.DATA_SQL
+
+
+def test_exact_dedup_keep_policies(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        dedup as dedup_pipe,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 5, 9, 2], pa.int64()),
+        "text": pa.array(["aaa", "aaa", "aaa", "bbb"]),
+    })
+    ds = ray.data.from_arrow(t)
+    first = dedup_pipe.exact_dedup(ds, n_buckets=4).to_pandas()
+    latest = dedup_pipe.exact_dedup(ds, n_buckets=4, keep="latest").to_pandas()
+    assert sorted(first["doc_id"]) == [1, 2]   # min doc_id survives
+    assert sorted(latest["doc_id"]) == [2, 9]  # max doc_id survives
+    assert sorted(first["n_copies"]) == sorted(latest["n_copies"]) == [1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_pipe.exact_dedup(ds, keep="oldest")
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        queries,
+    )
+
+    assert "dedup_exact_latest" in queries.DATA_QUERIES
+    assert "dedup_exact_latest" in queries.DATA_SQL
