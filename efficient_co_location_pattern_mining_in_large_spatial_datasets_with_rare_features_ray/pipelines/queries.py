@@ -859,6 +859,17 @@ SQL_DOCS_TOPK = """SELECT doc_id, source, n_chars FROM (
 ) WHERE rn <= 3"""
 
 
+def q_ann_topk_int8(sf_dir: str) -> pa.Table:
+    """Cosine top-k over int8 quantize-dequantized vectors (the
+    compressed-store serving path). Deterministic -> VALUES golden;
+    recall vs the exact search is tested in tests/test_sampling.py."""
+    from . import similarity
+
+    return similarity.ann_topk(
+        _embeddings(sf_dir), ANN_QUERY_IDS, k=ANN_K, int8=True
+    )
+
+
 def q_embed_quantize(sf_dir: str):
     """Symmetric int8 embedding quantization (map-only, reduceat-
     vectorized); scale + code checksums restated exactly in SQL."""
@@ -1324,6 +1335,7 @@ DATA_QUERIES = {
     "docs_topk_per_source": q_docs_topk_per_source,
     "image_resize": q_image_resize,
     "embed_quantize": q_embed_quantize,
+    "ann_topk_int8": q_ann_topk_int8,
 }
 
 
@@ -1372,7 +1384,7 @@ DATA_SQL = {
 # fixed seeds -- committed VALUES goldens (tools/gen_value_goldens.py)
 # give the driver an exact comparison target; recall is separately
 # tested against the exact baseline (tests/test_similarity.py).
-for _n in ("ann_topk_lsh", "ann_topk_ivf"):
+for _n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

@@ -91,22 +91,39 @@ def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, np.asarray(m, np.float64)
 
 
+def _int8_roundtrip(m: np.ndarray) -> np.ndarray:
+    """Symmetric int8 quantize-dequantize (same codec as quantize_int8):
+    the vectors an int8 store would actually serve."""
+    a = np.abs(m).max(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(m * 127.0 / a + 0.5)
+    q[np.broadcast_to(a == 0.0, q.shape)] = 0.0
+    return q * (a / 127.0)
+
+
 def ann_topk(
     embeddings: Dataset,
     query_ids: list[int],
     k: int = 10,
     include_self: bool = False,
+    int8: bool = False,
 ) -> pa.Table:
     """Exact cosine top-k for each query vector. Output
     (query_id, vec_id, sim) with sim rounded to 6 and deterministic
-    (sim desc, vec_id asc) tie order."""
+    (sim desc, vec_id asc) tie order. ``int8=True`` runs the same
+    search over int8 quantize-dequantized vectors (both sides) — the
+    accuracy a 4x-compressed vector store delivers."""
     qids, qm = _query_matrix(embeddings, query_ids)
+    if int8:
+        qm = _int8_roundtrip(qm)
     qn = _normalize(qm)
     qref = ray.put((qids, qn))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         qids_, qn_ = ray.get(qref)
         ids, m = _batch_matrix(df)
+        if int8:
+            m = _int8_roundtrip(m)
         sims = _normalize(m) @ qn_.T  # (batch, nq)
         out = []
         for qi, qid in enumerate(qids_):

@@ -139,3 +139,33 @@ def test_exact_dedup_keep_policies(ray_session):
 
     assert "dedup_exact_latest" in queries.DATA_QUERIES
     assert "dedup_exact_latest" in queries.DATA_SQL
+
+
+def test_ann_int8_recall_vs_exact(ray_session):
+    import ray.data
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        similarity,
+    )
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    exact = similarity.ann_topk(emb, [0, 1, 2], k=10)
+    quant = similarity.ann_topk(emb, [0, 1, 2], k=10, int8=True)
+    hits = total = 0
+    for qid in (0, 1, 2):
+        e = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qid}
+        g = {r["vec_id"] for r in quant.to_pylist() if r["query_id"] == qid}
+        hits += len(e & g)
+        total += len(e)
+    # int8 error is ~0.4% per component: recall@10 stays near-perfect
+    assert hits / total >= 0.9, hits / total
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
+        queries,
+    )
+
+    assert "ann_topk_int8" in queries.DATA_QUERIES
+    assert "ann_topk_int8" in queries.DATA_SQL

@@ -123,6 +123,7 @@ def main() -> None:
     for name, fn in (
         ("ann_topk_lsh", q.q_ann_topk_lsh),
         ("ann_topk_ivf", q.q_ann_topk_ivf),
+        ("ann_topk_int8", q.q_ann_topk_int8),
     ):
         t = fn(SF_DIR)
         sql = to_values_sql(t, float_cols={"sim"}, fp=fp)
