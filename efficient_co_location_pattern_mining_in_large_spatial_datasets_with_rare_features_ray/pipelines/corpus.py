@@ -194,13 +194,15 @@ def clean_corpus(
     min_words: int = 20,
     neardup_threshold: float = 0.7,
     n_buckets: int = 64,
-) -> pa.Table:
-    """Returns (doc_id, kept, reason): every input document with whether
-    it survives the full gate and why it was dropped
+) -> Dataset:
+    """Returns a DATASET of (doc_id, kept, reason): every input document
+    with whether it survives the full gate and why it was dropped
     (quality | exact_dup | near_dup | '' when kept). Deterministic:
     exact/near duplicate groups keep their smallest doc_id. No driver-
     side id sets: each stage emits verdict ROWS, combined by a final
-    bucketed groupby."""
+    bucketed groupby; the result STREAMS (one verdict row per corpus
+    doc — at 10^12 docs consume it with write_parquet, never a driver
+    to_pandas) and is ordered by a distributed ds.sort("doc_id")."""
 
     def add_quality(df: pd.DataFrame) -> pd.DataFrame:
         m = quality_metrics(df["text"])
@@ -312,11 +314,17 @@ def clean_corpus(
         .groupby("vb")
         .map_groups(combine, batch_format="pandas")
     )
-    out = verdicts.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return pa.table(
-        {
-            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
-            "kept": pa.array(out["kept"].to_numpy(bool), pa.bool_()),
-            "reason": pa.array(out["reason"].astype(str).tolist(), pa.string()),
-        }
-    )
+
+    def typed(df: pd.DataFrame) -> pa.Table:
+        # typed Arrow blocks (stable schema even for empty buckets)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "kept": pa.array(df["kept"].to_numpy(bool), pa.bool_()),
+                "reason": pa.array(df["reason"].astype(str).tolist(), pa.string()),
+            }
+        )
+
+    # DISTRIBUTED sort: the verdict table is corpus-sized (one row per
+    # doc) and must never be pulled to the driver to order it
+    return verdicts.map_batches(typed, batch_format="pandas").sort("doc_id")

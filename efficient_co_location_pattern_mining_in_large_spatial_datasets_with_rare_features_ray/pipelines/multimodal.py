@@ -199,6 +199,22 @@ def phash_neardup(
                     "multi-index or cascade instead"
                 )
             n_bands = next(b for b in (4, 8, 16) if b - 1 >= max_hamming)
+            if max_hamming > 7:
+                # 16 bands of 4 bits = 16 buckets per band: unrelated
+                # rows collide ~n/16 per bucket, so the per-bucket
+                # O(|g|^2) verify degenerates toward all-pairs — the
+                # same reasoning the >15 error states. Viable only at
+                # small n; at scale use a multi-index/cascade.
+                import warnings
+
+                warnings.warn(
+                    f"max_hamming={max_hamming} selects 16 bands of 4 "
+                    "bits (16 buckets/band); the per-bucket O(|g|^2) "
+                    "verify is near all-pairs at scale — only viable "
+                    "for small inputs",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         else:
             # auto tier needs n: hashes is a tiny (id, int64) table -- a
             # materialize here also stops the band expansion re-decoding

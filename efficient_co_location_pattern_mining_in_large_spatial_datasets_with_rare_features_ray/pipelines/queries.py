@@ -1304,7 +1304,10 @@ SPATIAL_SQL = {
     "events_windowed": SQL_EVENTS_WINDOWED,
 }
 
-def q_corpus_clean(sf_dir: str) -> pa.Table:
+def q_corpus_clean(sf_dir: str) -> Dataset:
+    """Returns the verdict DATASET (clean_corpus streams; the driver's
+    oracle compare consumes it — no driver-side materialization inside
+    the pipeline itself)."""
     from . import corpus
 
     return corpus.clean_corpus(_docs(sf_dir))

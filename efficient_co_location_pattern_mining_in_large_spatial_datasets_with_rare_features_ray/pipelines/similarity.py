@@ -624,7 +624,12 @@ def quantize_int8(embeddings: Dataset) -> Dataset:
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "scale": pa.array(np.round(m / 127.0, 9)),
+                # half-AWAY-from-zero to the 9th decimal, matching DuckDB
+                # round() in SQL_EMBED_QUANTIZE (np.round is half-to-even:
+                # a value landing exactly on a half would diverge)
+                "scale": pa.array(
+                    np.floor(m / 127.0 * 1e9 + 0.5) / 1e9
+                ),
                 "q_sum": pa.array(q_sum),
                 "q_abs_sum": pa.array(q_abs),
             }

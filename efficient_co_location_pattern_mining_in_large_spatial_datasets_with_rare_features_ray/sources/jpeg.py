@@ -350,7 +350,13 @@ def _quality_header(quality: int) -> tuple[np.ndarray, np.ndarray, bytes]:
 def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4)."""
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+    if c != 3 or pixels.dtype != np.uint8:
+        # explicit raise (not assert): malformed input must fail loudly
+        # even under `python -O`, never emit a corrupt bitstream
+        raise ValueError(
+            f"encode_jpeg needs (h, w, 3) uint8 RGB, got shape "
+            f"{pixels.shape} dtype {pixels.dtype}"
+        )
     ql, qc, dqt = _quality_header(quality)
     # pad to 8-multiples with edge replication (decoder crops via SOF dims)
     h8, w8 = (h + 7) & ~7, (w + 7) & ~7
@@ -499,8 +505,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError(f"expected marker at byte {pos}")
         # spec-legal fill bytes: any number of 0xFF may pad before the
         # marker id (T.81 B.1.1.2)
-        while pos < len(data) and data[pos + 1] == 0xFF:
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (stream ends mid-marker)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -3,6 +3,7 @@ component resolution, deterministic keep rules."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -48,7 +49,13 @@ def test_clean_corpus_end_to_end(ray_session):
     df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
     docs = ray.data.from_pandas(df).repartition(3)
 
-    out = clean_corpus(docs, min_words=20, neardup_threshold=0.7)
+    out_ds = clean_corpus(docs, min_words=20, neardup_threshold=0.7)
+    # the verdict table STREAMS: clean_corpus returns a Dataset (one row
+    # per corpus doc — never a driver-side to_pandas inside the pipeline)
+    assert isinstance(out_ds, ray.data.Dataset)
+    out = pa.concat_tables(
+        [b for b in out_ds.iter_batches(batch_format="pyarrow")]
+    )
     res = {d: (k, r) for d, k, r in zip(
         out["doc_id"].to_pylist(), out["kept"].to_pylist(),
         out["reason"].to_pylist())}
@@ -60,5 +67,9 @@ def test_clean_corpus_end_to_end(ray_session):
     assert res[7] == (True, "")       # smaller id of the near pair kept
     assert sum(1 for k, _ in res.values() if k) == 20
     # deterministic across runs
-    out2 = clean_corpus(docs, min_words=20, neardup_threshold=0.7)
+    out2 = pa.concat_tables(
+        [b for b in clean_corpus(
+            docs, min_words=20, neardup_threshold=0.7
+        ).iter_batches(batch_format="pyarrow")]
+    )
     assert out.to_pydict() == out2.to_pydict()
