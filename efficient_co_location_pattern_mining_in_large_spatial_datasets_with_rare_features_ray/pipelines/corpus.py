@@ -89,10 +89,13 @@ def neardup_components(pairs: Dataset, n_buckets: int = 64,
             return empty
         lab_rows = df[df["kind"] == 1]
         edge_rows = df[df["kind"] == 0]
-        lab = dict(zip(lab_rows["node"].tolist(), lab_rows["lab"].tolist()))
-        if not lab:
+        if lab_rows.empty:
             return empty
-        src_lab = edge_rows["node"].map(lab).to_numpy(np.int64)
+        # C-level hash join (reindex) instead of a per-row dict .map
+        lab_s = lab_rows.set_index("node")["lab"]
+        src_lab = lab_s.reindex(
+            edge_rows["node"].to_numpy(np.int64)
+        ).to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "dst": np.concatenate(
@@ -305,12 +308,13 @@ def clean_corpus(
             }
         )
 
+    def add_vb(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("vb", pa.array(did % n_buckets, pa.int64()))
+
     verdicts = (
         base.union(quality_dropped).union(exact_dropped).union(near_dropped)
-        .map_batches(
-            lambda df: df.assign(vb=df["doc_id"].to_numpy(np.int64) % n_buckets),
-            batch_format="pandas",
-        )
+        .map_batches(add_vb, batch_format="pyarrow")
         .groupby("vb")
         .map_groups(combine, batch_format="pandas")
     )

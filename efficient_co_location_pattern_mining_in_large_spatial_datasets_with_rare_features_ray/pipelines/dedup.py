@@ -146,13 +146,16 @@ def minhash_candidates(docs: Dataset, n_buckets: int = 64) -> Dataset:
         )
         return out.drop_duplicates()
 
-    rows = minhash_band_rows(docs)
-    rows = rows.map_batches(
-        lambda df: df.assign(
-            bb=(df["band"].to_numpy(np.int64) * 1000003
-                + df["band_hash"].to_numpy(np.int64)) % n_buckets
-        ),
-        batch_format="pandas",
+    def add_bb(t: pa.Table) -> pa.Table:
+        # arrow-native bucket assign: no pandas round-trip of the block
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bb", pa.array((band * 1000003 + bh) % n_buckets, pa.int64())
+        )
+
+    rows = minhash_band_rows(docs).map_batches(
+        add_bb, batch_format="pyarrow"
     )
     # pairs may still repeat across bands; minhash_verified_pairs dedupes
     # them in its first pair-bucket shuffle
@@ -238,13 +241,16 @@ def minhash_verified_pairs(
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
         return df.drop_duplicates(["a", "b"])[["a", "b"]]
 
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "pb", pa.array((a * 1000003 + b) % n_buckets, pa.int64())
+        )
+
     cand = _exchange_pandas(
         minhash_candidates(docs, n_buckets=n_buckets).map_batches(
-            lambda df: df.assign(
-                pb=(df["a"].to_numpy(np.int64) * 1000003
-                    + df["b"].to_numpy(np.int64)) % n_buckets
-            ),
-            batch_format="pandas",
+            add_pb, batch_format="pyarrow"
         ),
         "pb", n_buckets, dedupe,
         pa.schema([("a", pa.int64()), ("b", pa.int64())]),
@@ -351,11 +357,12 @@ def minhash_verified_pairs(
             }
         )
 
+    def add_db(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("db", pa.array(did % n_buckets, pa.int64()))
+
     with_sh = _exchange_pandas(
-        roles.union(texts).map_batches(
-            lambda df: df.assign(db=df["doc_id"].to_numpy(np.int64) % n_buckets),
-            batch_format="pandas",
-        ),
+        roles.union(texts).map_batches(add_db, batch_format="pyarrow"),
         "db", n_buckets, attach,
         pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("doc_id", pa.int64()),

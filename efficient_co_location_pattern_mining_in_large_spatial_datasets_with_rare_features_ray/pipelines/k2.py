@@ -68,8 +68,10 @@ def k2_metrics(
     rank = dict(ctx.rank)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ra = df["a_feature"].map(rank).to_numpy(np.int64)
-        rb = df["b_feature"].map(rank).to_numpy(np.int64)
+        from ..stages.stars import dict_take
+
+        ra = dict_take(df["a_feature"], rank)
+        rb = dict_take(df["b_feature"], rank)
         ia = df["a_id"].to_numpy(np.int64)
         ib = df["b_id"].to_numpy(np.int64)
         a_first = ra < rb  # rank order IS the canonical (count asc, lex) order

@@ -194,9 +194,15 @@ def directed_keyed_edges_sharded(
     counts = dict(ctx.counts)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ca = df["a_feature"].map(counts)
-        cb = df["b_feature"].map(counts)
-        a_keeps_b = (ca < cb) | ((ca == cb) & (df["a_feature"] <= df["b_feature"]))
+        from .stars import dict_take
+
+        ca = dict_take(df["a_feature"], counts)
+        cb = dict_take(df["b_feature"], counts)
+        a_keeps_b = (ca < cb) | (
+            (ca == cb)
+            & (df["a_feature"].to_numpy(object)
+               <= df["b_feature"].to_numpy(object))
+        )
         c_id = df["a_id"].where(a_keeps_b, df["b_id"])
         c_f = df["a_feature"].where(a_keeps_b, df["b_feature"])
         o_id = df["b_id"].where(a_keeps_b, df["a_id"])

@@ -50,6 +50,18 @@ def _stable_bucket(keys, n_buckets: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def dict_take(s: pd.Series, mapping: dict) -> np.ndarray:
+    """Vectorized dict lookup over a low-cardinality pandas column:
+    factorize once per batch, map only the DISTINCT values through the
+    Python dict, then one np.take for the rows — replaces the per-row
+    Python-level ``Series.map(dict)`` in the hot pair stages. Raises
+    KeyError on a value missing from ``mapping`` (louder than map's
+    silent NaN)."""
+    codes, uniq = pd.factorize(s.to_numpy(object), sort=False)
+    lut = np.fromiter((mapping[u] for u in uniq), np.int64, len(uniq))
+    return lut[codes]
+
+
 def _rank_codes(col: pa.ChunkedArray | pa.Array, rank: dict) -> np.ndarray:
     """String feature column -> int16 canonical ranks via its dictionary
     (rank-maps only the distinct values, not every row)."""
@@ -381,9 +393,13 @@ def ordered_edges(pairs: Dataset, ctx: FeatureContext) -> Dataset:
     counts = dict(ctx.counts)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ca = df["a_feature"].map(counts)
-        cb = df["b_feature"].map(counts)
-        a_keeps_b = (ca < cb) | ((ca == cb) & (df["a_feature"] <= df["b_feature"]))
+        ca = dict_take(df["a_feature"], counts)
+        cb = dict_take(df["b_feature"], counts)
+        a_keeps_b = (ca < cb) | (
+            (ca == cb)
+            & (df["a_feature"].to_numpy(object)
+               <= df["b_feature"].to_numpy(object))
+        )
         return pd.DataFrame(
             {
                 "center_id": df["a_id"].where(a_keeps_b, df["b_id"]),
