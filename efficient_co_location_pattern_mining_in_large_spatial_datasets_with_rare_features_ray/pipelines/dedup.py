@@ -121,20 +121,37 @@ def minhash_band_rows(docs: Dataset) -> Dataset:
     return docs.map_batches(fn, batch_format="pandas")
 
 
-def minhash_candidates(docs: Dataset, n_buckets: int = 64) -> Dataset:
+def minhash_candidates(
+    docs: Dataset, n_buckets: int = 64, bucket_cap: int = 1024
+) -> Dataset:
     """Candidate near-dup pairs (a < b) from LSH band buckets, deduped.
     The Ray shuffle key is a coarse hash of (band, band_hash) -- one Ray
     group per bucket, with the per-(band, band_hash) pairing vectorized
-    in pandas inside (never one Ray group per LSH bucket)."""
+    in pandas inside (never one Ray group per LSH bucket).
+
+    Hot-bucket cap: a (band, band_hash) bucket holding more than
+    ``bucket_cap`` distinct docs (typically a crawl's byte-identical
+    docs reaching the near-dup stage un-exact-deduped: 10^5 copies
+    would emit 5*10^9 all-pairs from ONE bucket) pairs every member to
+    the bucket's representative (min doc_id) instead -- O(m) candidate
+    pairs. Pairwise completeness inside such a bucket is traded for the
+    star; transitive grouping downstream (corpus.neardup_components)
+    still recovers the full duplicate cluster through the
+    representative."""
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
         for _, sub in df.groupby(["band", "band_hash"], sort=False):
             ids = np.sort(sub["doc_id"].unique())
-            if len(ids) < 2:
+            m = len(ids)
+            if m < 2:
                 continue
-            iu, ju = np.triu_indices(len(ids), k=1)
+            if m > bucket_cap:
+                a_out.append(np.full(m - 1, ids[0], np.int64))
+                b_out.append(ids[1:])
+                continue
+            iu, ju = np.triu_indices(m, k=1)
             a_out.append(ids[iu])
             b_out.append(ids[ju])
         if not a_out:
@@ -211,7 +228,7 @@ def filter_to_candidates(
 
 def minhash_verified_pairs(
     docs: Dataset, threshold: float = 0.7, shingle_k: int = 5,
-    n_buckets: int = 64,
+    n_buckets: int = 64, bucket_cap: int = 1024,
 ) -> Dataset:
     """LSH candidates verified by exact shingle Jaccard >= threshold,
     fully DISTRIBUTED -- the driver never materializes candidates or
@@ -249,9 +266,9 @@ def minhash_verified_pairs(
         )
 
     cand = _exchange_pandas(
-        minhash_candidates(docs, n_buckets=n_buckets).map_batches(
-            add_pb, batch_format="pyarrow"
-        ),
+        minhash_candidates(
+            docs, n_buckets=n_buckets, bucket_cap=bucket_cap
+        ).map_batches(add_pb, batch_format="pyarrow"),
         "pb", n_buckets, dedupe,
         pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     )
@@ -417,12 +434,15 @@ def minhash_verified_pairs(
 
 
 def minhash_neardup_pairs(
-    docs: Dataset, threshold: float = 0.7, shingle_k: int = 5
+    docs: Dataset, threshold: float = 0.7, shingle_k: int = 5,
+    bucket_cap: int = 1024,
 ) -> pa.Table:
     """Small-result wrapper over the distributed verify: sorted
     (a, b, jaccard) table. Only the FINAL verified pairs (the query
     result itself) reach the driver."""
-    df = minhash_verified_pairs(docs, threshold, shingle_k).to_pandas()
+    df = minhash_verified_pairs(
+        docs, threshold, shingle_k, bucket_cap=bucket_cap
+    ).to_pandas()
     df = df.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.table(
         {
@@ -446,6 +466,149 @@ def simhash_signatures(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array."""
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(len(x), 64)
+        .sum(axis=1)
+    )
+
+
+def simhash_neardup_pairs(
+    docs: Dataset,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    n_parts: int = 64,
+) -> Dataset:
+    """Near-duplicate doc pairs by SimHash LSH — the fuzzy-dedup shape a
+    crawl-scale pipeline runs over simhash signatures: band the 64-bit
+    signature into ``n_bands`` equal bit-slices, co-group rows sharing
+    any (band, slice) value, verify candidates by exact hamming distance
+    <= ``max_hamming``, dedup pairs found via multiple bands. Columns:
+    (a, b, hamming), a < b.
+
+    Pigeonhole guarantee (same machinery as multimodal.phash_neardup):
+    any pair within ``n_bands - 1`` bits shares at least one clean band,
+    so the default 4 bands x 16 bits is EXACT at hamming <= 3 with
+    2^16 buckets per band (expected bucket size n/65536 — the
+    production web-dedup configuration). No recall loss, no all-pairs
+    stage anywhere: the per-bucket verify is O(|g|^2) over an
+    expected-constant-size bucket."""
+    from ..stages.exchange import static_group_exchange
+
+    sigs = simhash_signatures(docs)
+    if n_bands is None:
+        if max_hamming > 15:
+            raise ValueError(
+                f"max_hamming={max_hamming} needs > 16 bands of < 4 bits "
+                "— bucket values would be near-constant; use a cascade"
+            )
+        n_bands = next(b for b in (4, 8, 16) if b - 1 >= max_hamming)
+    elif max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"of n_bands={n_bands} (exact only to {n_bands - 1})"
+        )
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def expand(t: pa.Table) -> pa.Table:
+        sh = np.ascontiguousarray(
+            t["simhash"].to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sh)
+        bucket = np.empty(n * n_bands, np.int64)
+        for b in range(n_bands):
+            sl = (sh >> np.uint64(b * band_bits)) & mask
+            bucket[b * n : (b + 1) * n] = (
+                np.int64(b) << np.int64(band_bits)
+            ) | sl.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(did, n_bands), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(sh, n_bands).view(np.int64), pa.int64()
+                ),
+                "bucket": pa.array(bucket, pa.int64()),
+                "part": pa.array(bucket % n_parts, pa.int64()),
+            }
+        )
+
+    bands = sigs.map_batches(expand, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64()),
+         ("pair_part", pa.int64())]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pair_schema.empty_table()
+        df = t.to_pandas()
+        out_a, out_b, out_d = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.drop_duplicates("doc_id")
+            m = len(g)
+            if m < 2:
+                continue
+            sh = np.ascontiguousarray(
+                g["simhash"].to_numpy(np.int64)
+            ).view(np.uint64)
+            ids = g["doc_id"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids, sh = ids[order], sh[order]
+            iu, ju = np.triu_indices(m, k=1)
+            d = _popcount64(np.bitwise_xor(sh[iu], sh[ju]))
+            keep = d <= max_hamming
+            if keep.any():
+                out_a.append(ids[iu[keep]])
+                out_b.append(ids[ju[keep]])
+                out_d.append(d[keep])
+        if not out_a:
+            return pair_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        d = np.concatenate(out_d).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+                "pair_part": pa.array((a * 1000003 + b) % n_parts, pa.int64()),
+            }
+        )
+
+    cands = static_group_exchange(
+        bands, "part", n_parts, verify,
+        empty_schema=pair_schema, drop_empty=True,
+    )
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().drop_duplicates(["a", "b"])
+        return pa.table(
+            {
+                "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
+                "hamming": pa.array(
+                    df["hamming"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return static_group_exchange(
+        cands, "pair_part", n_parts, dedup_pairs,
+        empty_schema=out_schema, drop_empty=True,
+    )
 
 
 def ngram_jaccard_pairs(

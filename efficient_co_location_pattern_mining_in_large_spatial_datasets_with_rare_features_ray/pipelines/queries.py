@@ -675,6 +675,14 @@ def q_simhash(sf_dir: str) -> Dataset:
     return dedup_pipe.simhash_signatures(_docs(sf_dir))
 
 
+def q_simhash_neardup(sf_dir: str) -> Dataset:
+    """Fuzzy dedup over simhash signatures: rotating bit-band LSH +
+    exact hamming <= 3 verify (pigeonhole-exact at 4 bands x 16 bits)."""
+    from . import dedup as dedup_pipe
+
+    return dedup_pipe.simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def q_ngram_pairs(sf_dir: str) -> Dataset:
     from . import dedup as dedup_pipe
 
@@ -1088,6 +1096,16 @@ UNION ALL
 SELECT doc_id, CAST(0 AS BIGINT) AS simhash
 FROM documents WHERE trim(text) = ''"""
 
+# exact restatement of pipelines/dedup.simhash_neardup_pairs: the
+# banded LSH is pigeonhole-EXACT at hamming <= 3 (4 bands x 16 bits),
+# so the full self-join equals the engine's banded op bit-for-bit
+SQL_SIMHASH_NEARDUP = f"""WITH sig AS ({SQL_SIMHASH})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
+
+
 def _sql_minhash_pairs(source: str, tau: float) -> str:
     """Parenthesized subquery yielding (a, b, jaccard): exact
     restatement of the FULL MinHash-LSH pipeline
@@ -1325,6 +1343,7 @@ DATA_QUERIES = {
     "dedup_exact_latest": q_dedup_exact_latest,
     "dedup_minhash_lsh": q_minhash_neardup,
     "dedup_simhash": q_simhash,
+    "dedup_simhash_neardup": q_simhash_neardup,
     "dedup_ngram_jaccard": q_ngram_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -1370,6 +1389,7 @@ DATA_SQL = {
     "doc_langid": SQL_LANGID,
     "doc_fingerprints": SQL_FINGERPRINTS,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_simhash_neardup": SQL_SIMHASH_NEARDUP,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH,
     "corpus_clean": SQL_CORPUS_CLEAN,

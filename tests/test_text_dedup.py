@@ -254,3 +254,68 @@ def test_token_and_bigram_topk(ray_session):
     docs2 = ray.data.from_items([{"doc_id": 0, "text": "z y z y"}])
     t2 = token_topk(docs2, k=1).to_pandas()
     assert list(t2["token"]) == ["y"]
+
+
+def test_simhash_neardup_pairs_equals_bruteforce(ray_session):
+    """Banded simhash near-dup must equal the brute-force all-pairs
+    hamming filter (pigeonhole-exact at max_hamming <= n_bands - 1),
+    including exact duplicates (hamming 0) and an 8-band radius."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choice(vocab, size=30)), "en", "s0"))
+    # exact duplicate pair and a 1-token perturbation (tiny hamming)
+    rows.append((100, rows[5][1], "en", "s0"))
+    w = rows[9][1].split()
+    w[3] = "tokX"
+    rows.append((101, " ".join(w), "en", "s0"))
+    ds = docs_ds(rows)
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(ds).take_all()}
+    ids = sorted(sigs)
+    sh = np.array([sigs[i] for i in ids], np.int64).view(np.uint64)
+
+    def brute(max_h):
+        want = set()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = int(bin(int(sh[x] ^ sh[y])).count("1"))
+                if d <= max_h:
+                    want.add((ids[x], ids[y], d))
+        return want
+
+    for max_h in (0, 3, 7):
+        got = {(r["a"], r["b"], r["hamming"])
+               for r in simhash_neardup_pairs(ds, max_hamming=max_h).take_all()}
+        assert got == brute(max_h), f"max_hamming={max_h}"
+    assert (5, 100, 0) in brute(0)  # the planted exact dup is found
+
+
+def test_minhash_hot_bucket_cap_linear(ray_session):
+    """A pathological LSH bucket (many byte-identical docs) must emit
+    O(n) representative-star candidates, not O(n^2) all-pairs — and the
+    verified pairs must all be (rep, x) at jaccard 1.0."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.dedup import (
+        minhash_candidates,
+        minhash_verified_pairs,
+    )
+
+    n = 3000
+    rows = [(i, BASE, "en", "s0") for i in range(n)]
+    ds = docs_ds(rows)
+    cap = 64
+    cands = minhash_candidates(ds, bucket_cap=cap).take_all()
+    # every band bucket holds all n ids -> capped to n-1 star pairs each,
+    # deduped per exchange part; total must stay linear in n
+    assert len(cands) <= 16 * n  # MINHASH_BANDS * n, far below n^2/2
+    assert all(r["a"] == 0 for r in cands)
+    ver = minhash_verified_pairs(ds, threshold=0.9, bucket_cap=cap).take_all()
+    got = {(r["a"], r["b"]) for r in ver}
+    assert got == {(0, i) for i in range(1, n)}
+    assert all(r["jaccard"] == 1.0 for r in ver)
