@@ -1,4 +1,5 @@
-"""As-of join over keyed event logs, Ray-Data-first.
+"""Joins over keyed tables, Ray-Data-first: broadcast equi-join for
+small-dimension enrichment and an as-of join over keyed event logs.
 
 The reference engine has no temporal joins (its tables are static
 spatial instances); this operator belongs to the large-scale
@@ -29,11 +30,118 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
 _SIDE_LEFT = np.int8(0)
 _SIDE_RIGHT = np.int8(1)
+
+BROADCAST_SHARD_ROWS = 1_000_000  # dimension rows per broadcast shard
+
+
+def broadcast_join(
+    left: Dataset,
+    small_right: Dataset,
+    key: str,
+    right_columns: list[str],
+    right_key: str | None = None,
+    max_per_shard: int = BROADCAST_SHARD_ROWS,
+) -> Dataset:
+    """Inner equi-join of a big Dataset against a SMALL dimension table
+    (metadata enrichment: orders x customer, events x user profile) with
+    NO shuffle of the big side — the most common pipeline step a
+    groupby-based join would turn into a needless all-to-all exchange.
+
+    The right side is collected once (contract: dimension-sized — fits
+    the driver; the BIG side must be ``left``), sharded by key residue
+    class into ``<= max_per_shard``-row plasma objects (``ray.put``
+    once, same sharding scheme as dedup.shard_candidate_ids: no single
+    all-rows object at any scale), and every left ``map_batches`` task
+    probes only the shards its keys hit with one sorted searchsorted
+    per shard. Plasma objects are fetched node-local once per worker,
+    never re-shipped per batch.
+
+    ``key`` must be integer-typed on both sides and UNIQUE on the right
+    (dimension contract; duplicate right keys raise); ``right_key``
+    names the right side's key column when it differs (o_custkey vs
+    c_custkey). Left rows with no match are dropped (inner join). Right
+    columns are appended after the left columns; name collisions
+    raise."""
+    import ray as _ray
+
+    rk = right_key or key
+    rt = small_right.select_columns([rk] + list(right_columns)).to_pandas()
+    rkeys = rt[rk].to_numpy()
+    if not np.issubdtype(rkeys.dtype, np.integer):
+        raise TypeError(f"broadcast_join key {key!r} must be integer-typed")
+    rkeys = rkeys.astype(np.int64)
+    order = np.argsort(rkeys)
+    rkeys = rkeys[order]
+    if len(rkeys) > 1 and (rkeys[1:] == rkeys[:-1]).any():
+        raise ValueError(
+            f"duplicate right-side keys in broadcast_join on {key!r} "
+            "(dimension contract: unique keys)"
+        )
+    rvals = {c: rt[c].to_numpy()[order] for c in right_columns}
+    # tiny per-column type info for the probe closure (the probe must
+    # NOT capture rkeys/rvals — only the shard refs)
+    rdtypes = {c: rvals[c].dtype for c in right_columns}
+    rtypes = {
+        c: (pa.string() if rdtypes[c] == object
+            else pa.from_numpy_dtype(rdtypes[c]))
+        for c in right_columns
+    }
+
+    n_sh = max(1, -(-len(rkeys) // max_per_shard))
+    mod = rkeys % np.int64(n_sh)
+    shard_refs = []
+    for s in range(n_sh):
+        sel = mod == s  # residue slices of a sorted array stay sorted
+        shard_refs.append(
+            _ray.put(
+                (
+                    np.ascontiguousarray(rkeys[sel]),
+                    {c: rvals[c][sel] for c in right_columns},
+                )
+            )
+        )
+
+    def probe(t: pa.Table) -> pa.Table:
+        for c in right_columns:
+            if c in t.column_names:
+                raise ValueError(f"column collision in broadcast_join: {c!r}")
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(k), bool)
+        gather = np.zeros(len(k), np.int64)  # index into the hit shard
+        shard_id = np.zeros(len(k), np.int32)
+        km = k % np.int64(n_sh)
+        shards = {}
+        for s in np.unique(km):
+            keys_s, vals_s = _ray.get(shard_refs[int(s)])
+            shards[int(s)] = vals_s
+            if not len(keys_s):
+                continue
+            sel = km == s
+            d = k[sel]
+            pos = np.minimum(np.searchsorted(keys_s, d), len(keys_s) - 1)
+            ok = keys_s[pos] == d
+            idx = np.flatnonzero(sel)
+            hit[idx[ok]] = True
+            gather[idx[ok]] = pos[ok]
+            shard_id[idx[ok]] = s
+        out = t.filter(pa.array(hit))
+        h_gather = gather[hit]
+        h_shard = shard_id[hit]
+        for c in right_columns:
+            col = np.empty(out.num_rows, dtype=rdtypes[c])
+            for s in np.unique(h_shard):
+                m = h_shard == s
+                col[m] = shards[int(s)][c][h_gather[m]]
+            out = out.append_column(c, pa.array(col, type=rtypes[c]))
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow")
 
 
 def asof_join(

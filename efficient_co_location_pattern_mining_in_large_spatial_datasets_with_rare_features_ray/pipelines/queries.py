@@ -529,6 +529,36 @@ def q_events_asof(sf_dir: str) -> Dataset:
     return asof_join(left, right)
 
 
+def q_orders_enriched(sf_dir: str) -> Dataset:
+    """Small-dimension enrichment via broadcast equi-join: every order
+    row picks up its customer's nation + market segment WITHOUT
+    shuffling the (big) orders side — the customer table is ray.put
+    once as sorted key shards and probed per batch
+    (pipelines/joins.broadcast_join)."""
+    import ray.data
+
+    from .joins import broadcast_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    return broadcast_join(
+        orders, cust, key="o_custkey",
+        right_columns=["c_nationkey", "c_mktsegment"],
+        right_key="c_custkey",
+    )
+
+
+SQL_ORDERS_ENRICHED = """SELECT o_orderkey, o_custkey, o_totalprice,
+       c_nationkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+
 SQL_EVENTS_ASOF = f"""SELECT l.event_id, l.user_id, l.ts,
        r.ts AS asof_ts, r.value AS asof_value
 FROM events l
@@ -1310,6 +1340,7 @@ SPATIAL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "orders_enriched": q_orders_enriched,
 }
 
 SPATIAL_SQL = {
@@ -1320,6 +1351,7 @@ SPATIAL_SQL = {
     "colo_rasterize": SQL_RASTERIZE,
     "colo_raster_boxes": SQL_RASTER_BOXES,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "orders_enriched": SQL_ORDERS_ENRICHED,
 }
 
 def q_corpus_clean(sf_dir: str) -> Dataset:

@@ -91,3 +91,40 @@ def test_asof_join_no_right_rows_for_key(ray_session):
     # user 6 has no right rows -> dropped (inner as-of); user 5 matches
     assert got["event_id"].tolist() == [1]
     assert got["asof_value"].tolist() == [3.5]
+
+
+def test_broadcast_join_enrichment(ray_session):
+    """Broadcast equi-join: inner semantics, multi-shard probe path,
+    typed string/numeric right columns, duplicate-key rejection."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        broadcast_join,
+    )
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 5, 7, 2, 99],
+        "v": [10.0, 20.0, 30.0, 50.0, 70.0, 21.0, 990.0],
+    })).repartition(3)
+    right = ray.data.from_pandas(pd.DataFrame({
+        "rk": [1, 2, 3, 5, 7, 8],
+        "name": ["a", "b", "c", "e", "g", "h"],
+        "grp": [100, 200, 300, 500, 700, 800],
+    }))
+    # max_per_shard=2 forces the multi-shard residue path
+    out = broadcast_join(
+        left, right, key="k", right_columns=["name", "grp"],
+        right_key="rk", max_per_shard=2,
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 2, 3, 5, 7]  # 99 dropped (inner)
+    assert out["name"].tolist() == ["a", "b", "b", "c", "e", "g"]
+    assert out["grp"].tolist() == [100, 200, 200, 300, 500, 700]
+    assert out["v"].tolist() == [10.0, 20.0, 21.0, 30.0, 50.0, 70.0]
+
+    # duplicate right keys violate the dimension contract
+    dup = ray.data.from_pandas(pd.DataFrame(
+        {"rk": [1, 1], "name": ["a", "b"], "grp": [1, 2]}))
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(left, dup, key="k",
+                       right_columns=["name", "grp"], right_key="rk")
