@@ -30,7 +30,6 @@ from ..functions.dedup import (
     minhash_signatures_batch,
     simhash64_batch,
 )
-from ..functions.text import char_shingles_str
 from ..stages.exchange import static_group_exchange
 
 
@@ -612,88 +611,145 @@ def simhash_neardup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: Dataset, threshold: float = 0.3, k: int = 3, group_col: str = "source"
+    docs: Dataset, threshold: float = 0.3, k: int = 3,
+    group_col: str = "source", n_buckets: int = 64,
 ) -> Dataset:
     """Exact n-gram Jaccard near-dup pairs *within* a grouping column
-    (e.g. same source): groupby(group_col) keeps the pairwise work
-    partition-local. Columns: (a, b, jaccard). Uses UNhashed character
-    shingles (char_shingles_str) so the result is collision-free and
-    exactly reproducible by the DuckDB oracle (SQL_NGRAM_JACCARD)."""
+    (e.g. same source). Columns: (a, b, jaccard).
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        """Inverted-index pair counting instead of the O(n^2) Python
-        pair loop over per-doc sets: factorize every (doc, shingle)
-        incidence, expand each shingle's doc run into (i < j) pairs
-        (vectorized per distinct run length), count pair occurrences =
-        intersection sizes, and derive Jaccard from |A| + |B| - inter.
-        Only pairs sharing at least one shingle are ever touched, so a
-        hot source costs O(sum_s |docs(s)|^2) over SHARED shingles, all
-        in numpy."""
+    SKEW-FREE shuffle plan — the work shards by SHINGLE, never by
+    source, so a hot source (half the crawl from one domain) spreads
+    over every bucket instead of landing in a single task (rounds 1-4
+    ran ``groupby(source).map_groups``: one whole source per task):
+
+      1. incidence map  -- per doc: sorted distinct md5-hashed
+         k-shingles (hashed_shingles_batch; values bit-identical to the
+         minhash verify's and collision-free in practice, so the result
+         equals the UNhashed SQL oracle) + the doc's shingle-set size
+         carried ON each incidence row (no sizes broadcast needed).
+         Empty docs emit one sentinel incidence (sh=-1, size=0).
+      2. shingle-bucket exchange -- bucket key = hash(source, shingle);
+         inside a bucket, each (source, shingle) run of doc_ids expands
+         to (a < b, size_a, size_b) rows, vectorized per run length.
+         Per-task work is O(sum over its shingle runs |run|^2) — a
+         pathological shared-by-all shingle is bounded by the run, not
+         the source.
+      3. pair-bucket exchange -- groupby (a, b): |intersection| = row
+         count, jaccard = inter / (size_a + size_b - inter); the
+         empty-empty sentinel pair is 1.0 by definition.
+    """
+
+    inc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("shash", pa.int64()), ("sh", pa.int64()),
+         ("size", pa.int64()), ("gb", pa.int64())]
+    )
+
+    def incidences(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return inc_schema.empty_table()
+        vals, offs = hashed_shingles_batch(df["text"].tolist(), k)
+        counts = np.diff(offs)
+        did = df["doc_id"].to_numpy(np.int64)
+        shash = pd.util.hash_array(
+            df[group_col].to_numpy(object), categorize=False
+        ).astype(np.int64)
+        rep = np.repeat(np.arange(len(df)), counts)
+        sh = vals.astype(np.int64)
+        # empty docs: one sentinel incidence (md5-mod-p values are >= 0,
+        # so sh=-1 cannot collide with a real shingle)
+        emp = np.flatnonzero(counts == 0)
+        doc_id = np.concatenate([did[rep], did[emp]])
+        shash_r = np.concatenate([shash[rep], shash[emp]])
+        sh_r = np.concatenate([sh, np.full(len(emp), -1, np.int64)])
+        size_r = np.concatenate(
+            [counts[rep].astype(np.int64), np.zeros(len(emp), np.int64)]
+        )
+        gb = (shash_r * np.int64(1000003) + sh_r) % n_buckets
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "shash": pa.array(shash_r, pa.int64()),
+                "sh": pa.array(sh_r, pa.int64()),
+                "size": pa.array(size_r, pa.int64()),
+                "gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    inc = docs.map_batches(incidences, batch_format="pandas")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+             "sa": np.empty(0, np.int64), "sb": np.empty(0, np.int64),
+             "pb": np.empty(0, np.int64)}
+        )
+        if len(df) < 2:
+            return empty
+        df = df.sort_values(["shash", "sh", "doc_id"], kind="stable")
+        shh = df["shash"].to_numpy(np.int64)
+        sh = df["sh"].to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        sz = df["size"].to_numpy(np.int64)
+        change = (shh[1:] != shh[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        lens = np.diff(np.append(starts, len(df)))
+        ii: list[np.ndarray] = []
+        jj: list[np.ndarray] = []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            S = starts[lens == L]
+            iu, ju = np.triu_indices(int(L), 1)
+            ii.append((S[:, None] + iu[None, :]).ravel())
+            jj.append((S[:, None] + ju[None, :]).ravel())
+        if not ii:
+            return empty
+        pi_ = np.concatenate(ii)
+        pj_ = np.concatenate(jj)
+        a, b = did[pi_], did[pj_]
+        return pd.DataFrame(
+            {"a": a, "b": b, "sa": sz[pi_], "sb": sz[pj_],
+             "pb": (a * np.int64(1000003) + b) % n_buckets}
+        )
+
+    pair_rows = _exchange_pandas(
+        inc, "gb", n_buckets, pairs_in_bucket,
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("sa", pa.int64()),
+             ("sb", pa.int64()), ("pb", pa.int64())]
+        ),
+    )
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
              "jaccard": np.empty(0, np.float64)}
         )
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy(np.int64)
-        n = len(ids)
-        if n < 2:
+        if df.empty:
             return empty
-        sizes = np.empty(n, np.int64)
-        all_sh: list[str] = []
-        doc_idx: list[np.ndarray] = []
-        for i, t in enumerate(df["text"]):
-            s = char_shingles_str(t, k)
-            sizes[i] = len(s)
-            all_sh.extend(s)
-            doc_idx.append(np.full(len(s), i, np.int64))
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_j: list[np.ndarray] = []
-        if all_sh:
-            d_all = np.concatenate(doc_idx)
-            codes, _ = pd.factorize(np.asarray(all_sh, object), sort=False)
-            order = np.argsort(codes, kind="stable")  # stable: docs stay ascending
-            d = d_all[order]
-            c = codes[order]
-            starts = np.concatenate(
-                [[0], np.flatnonzero(c[1:] != c[:-1]) + 1]
-            )
-            lens = np.diff(np.append(starts, len(c)))
-            ii: list[np.ndarray] = []
-            jj: list[np.ndarray] = []
-            for L in np.unique(lens):
-                if L < 2:
-                    continue
-                S = starts[lens == L]
-                iu, ju = np.triu_indices(int(L), 1)
-                ii.append((S[:, None] + iu[None, :]).ravel())
-                jj.append((S[:, None] + ju[None, :]).ravel())
-            if ii:
-                pi_ = d[np.concatenate(ii)]
-                pj_ = d[np.concatenate(jj)]
-                keys = pi_ * n + pj_
-                u, inter = np.unique(keys, return_counts=True)
-                ai = u // n
-                bi = u % n
-                union = sizes[ai] + sizes[bi] - inter
-                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-                keep = jac >= threshold
-                out_a.append(ids[ai[keep]])
-                out_b.append(ids[bi[keep]])
-                out_j.append(np.round(jac[keep], 6))
-        # jaccard(empty, empty) == 1.0 by definition: all-empty docs pair up
-        empties = np.flatnonzero(sizes == 0)
-        if len(empties) > 1 and 1.0 >= threshold:
-            iu, ju = np.triu_indices(len(empties), 1)
-            out_a.append(ids[empties[iu]])
-            out_b.append(ids[empties[ju]])
-            out_j.append(np.ones(len(iu), np.float64))
-        if not out_a:
-            return empty
-        out = pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
-             "jaccard": np.concatenate(out_j)}
+        agg = (
+            df.groupby(["a", "b"], sort=False)
+            .agg(inter=("sa", "size"), sa=("sa", "first"), sb=("sb", "first"))
+            .reset_index()
         )
-        return out.sort_values(["a", "b"]).reset_index(drop=True)
+        inter = agg["inter"].to_numpy(np.float64)
+        sa = agg["sa"].to_numpy(np.int64)
+        sb = agg["sb"].to_numpy(np.int64)
+        both_empty = (sa == 0) & (sb == 0)  # the sentinel pair
+        union = np.maximum(sa + sb - inter, 1.0)
+        j = np.where(both_empty, 1.0, inter / union)
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "a": agg["a"].to_numpy(np.int64)[keep],
+                "b": agg["b"].to_numpy(np.int64)[keep],
+                "jaccard": np.round(j[keep], 6),
+            }
+        )
 
-    return docs.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return _exchange_pandas(
+        pair_rows, "pb", n_buckets, reduce_pairs,
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )

@@ -319,3 +319,47 @@ def test_minhash_hot_bucket_cap_linear(ray_session):
     got = {(r["a"], r["b"]) for r in ver}
     assert got == {(0, i) for i in range(1, n)}
     assert all(r["jaccard"] == 1.0 for r in ver)
+
+
+def test_ngram_jaccard_hot_source_deskewed(ray_session):
+    """A planted hot source (80% of docs from one domain) must produce
+    the same exact pairs as a serial per-source computation — the work
+    shards by SHINGLE, so no task ever holds a whole source."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.functions.text import (
+        char_shingles_str,
+        jaccard as jac_fn,
+    )
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdefgh")
+    rows = []
+    for i in range(200):
+        src = "hot" if i < 160 else f"s{i % 5}"
+        rows.append((i, "".join(rng.choice(alpha, size=12)), "en", src))
+    # planted near-dups inside the hot source + an empty-doc pair
+    rows.append((500, rows[0][1], "hot", "x"))  # wrong tuple order guard
+    rows[-1] = (500, rows[0][1], "en", "hot")
+    rows.append((501, rows[0][1][:-1] + "z", "en", "hot"))
+    rows.append((600, "", "en", "hot"))
+    rows.append((601, "", "en", "hot"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+
+    got = ngram_jaccard_pairs(
+        ray.data.from_pandas(df).repartition(4), threshold=0.3, k=3
+    ).take_all()
+    got_set = {(r["a"], r["b"], r["jaccard"]) for r in got}
+
+    want = set()
+    for _, g in df.groupby("source"):
+        recs = list(g.itertuples())
+        for x in range(len(recs)):
+            for y in range(len(recs)):
+                a, b = recs[x], recs[y]
+                if a.doc_id >= b.doc_id:
+                    continue
+                j = jac_fn(char_shingles_str(a.text, 3),
+                           char_shingles_str(b.text, 3))
+                if j >= 0.3:
+                    want.add((a.doc_id, b.doc_id, round(j, 6)))
+    assert got_set == want
+    assert (0, 500, 1.0) in want and (600, 601, 1.0) in want
