@@ -145,18 +145,28 @@ def write_image_fixture(
     return out_dir
 
 
+def lance_available() -> bool:
+    """Capability probe for the Lance read path (the input hint names
+    Lance tables; this sandbox has no lance wheel, so the probe returns
+    False here and every read falls back to Parquet). Split out so the
+    branch selection is testable without the library."""
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def read_image_table(path: str, columns: list[str] | None = None):
     """Dataset over the image table; prefers Lance when available
     (input_hint names Lance), falls back to Parquet. Pass ``columns`` to
     prune at the read -- the mining path must never load ``bytes``."""
     import ray.data
 
-    try:  # pragma: no cover - lance not present in this sandbox
-        import lance  # noqa: F401
-
+    if lance_available():
         return ray.data.read_lance(path, columns=columns)
-    except ImportError:
-        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 GEOTAG_COLUMNS = ["image_id", "caption", "phash"]  # all the miner needs

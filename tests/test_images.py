@@ -134,3 +134,30 @@ def test_flagship_image_mining_matches_oracle(ray_session, image_fixture_dir):
                                       verify_invariants=True)
     assert run.pattern_set() == pattern_set(oracle)
     assert len(pattern_set(oracle)) > 0  # fixture must actually have patterns
+
+
+def test_read_image_table_lance_branch(ray_session, monkeypatch):
+    """The Lance read path is gated behind a tested capability probe:
+    without the wheel the probe is False (parquet fallback — every other
+    test exercises it); with the probe forced True, read_image_table
+    must route to ray.data.read_lance with the pruned column list."""
+    import ray.data
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources import (
+        images,
+    )
+
+    assert images.lance_available() is False  # sandbox has no lance wheel
+
+    calls = {}
+
+    def fake_read_lance(path, columns=None):
+        calls["path"] = path
+        calls["columns"] = columns
+        return "LANCE_DS"
+
+    monkeypatch.setattr(images, "lance_available", lambda: True)
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance)
+    out = images.read_image_table("/tmp/imgs.lance", columns=["image_id"])
+    assert out == "LANCE_DS"
+    assert calls == {"path": "/tmp/imgs.lance", "columns": ["image_id"]}
