@@ -193,14 +193,17 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     n_patterns = 0
-    # best-of-2 with a settle pause: residual kernel/scheduler load from
-    # the previous heavy job inflates single measurements by up to 2x on
-    # this sandbox even across processes
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    for name in HEAVY:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS), GRAFT_SF_DIR=SF_DIR)
-        best = None
-        for rep in range(reps):
+    # INTERLEAVED best-of-3 with a settle pause: this sandbox's
+    # effective speed drifts 2-3x with co-tenant load on multi-minute
+    # timescales, so back-to-back reps of ONE pipeline can all land in
+    # the same bad window (BENCH_r04 recorded the salted pipeline at
+    # 2.2x its own same-round best that way). Interleaving the rep loop
+    # across pipelines spaces each pipeline's reps minutes apart --
+    # every pipeline samples several machine states.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS), GRAFT_SF_DIR=SF_DIR)
+    for rep in range(reps):
+        for name in HEAVY:
             time.sleep(15)
             res = json.loads(
                 subprocess.run(
@@ -208,9 +211,9 @@ def run_bench() -> dict:
                     env=env, capture_output=True, text=True, check=True,
                 ).stdout.strip().splitlines()[-1]
             )
-            best = res["sec"] if best is None else min(best, res["sec"])
+            prev = timings.get(name)
+            timings[name] = res["sec"] if prev is None else min(prev, res["sec"])
             n_patterns = res.get("n_patterns", n_patterns)
-        timings[name] = best
 
     # lightweight document/embedding ops share one session
     ray = _init_ray()

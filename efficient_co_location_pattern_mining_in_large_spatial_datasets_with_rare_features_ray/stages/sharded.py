@@ -47,6 +47,7 @@ import ray
 from ray.data import Dataset
 
 from ..canonical import FeatureContext, select_metrics
+from ..functions.dedup import _concat_aranges
 from ..mining_core import expand_tables, gen_candidates
 from .stars import _stable_bucket
 
@@ -224,41 +225,95 @@ def directed_keyed_edges_sharded(
 
 def _per_bucket_shard_stars(ctx: FeatureContext, n_shards: int):
     """Group function for the star-bucket exchange: star lists + target
-    shards for one bucket's directed edges (SHARD_STAR_SCHEMA rows)."""
+    shards for one bucket's directed edges (SHARD_STAR_SCHEMA rows).
+    Fully vectorized: lexsort -> run boundaries -> one ListArray (the
+    round-2..4 ``groupby(...).agg(list)`` built a Python list PER STAR
+    -- the largest single cost of the salted prep at bench scale), and
+    the per-key shard replication is a searchsorted + repeat gather."""
 
-    def per_bucket(df: pd.DataFrame) -> pa.Table:
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         star = df[df["kind"] == 0]
+        if not len(star):
+            return SHARD_STAR_SCHEMA.empty_table()
         hint = df[df["kind"] == 1]
-        lists = (
-            star.groupby(["key", "feat", "other_feat"], sort=False)["other"]
-            .agg(list)
-            .reset_index()
+        key = star["key"].to_numpy(np.int64)
+        oth = star["other"].to_numpy(np.int64)
+        fcode, funiq = pd.factorize(star["feat"].to_numpy(object), sort=False)
+        ocode, ouniq = pd.factorize(
+            star["other_feat"].to_numpy(object), sort=False
         )
-        if lists.empty:
+        order = np.lexsort((ocode, fcode, key))
+        key, oth = key[order], oth[order]
+        fcode, ocode = fcode[order], ocode[order]
+        # run = one (key, feat, other_feat) star list
+        chg = (
+            (key[1:] != key[:-1])
+            | (fcode[1:] != fcode[:-1])
+            | (ocode[1:] != ocode[:-1])
+        )
+        starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
+        n_runs = len(starts)
+        run_key = key[starts]
+        run_f = fcode[starts]
+        run_o = ocode[starts]
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.append(starts, len(key)).astype(np.int32)),
+            pa.array(oth, pa.int64()),
+        )
+        # target shards per key: own shard + shards of in-neighbor
+        # centers, deduped via one unique over packed (key, shard)
+        own_keys = np.unique(run_key)
+        tk_parts = [own_keys]
+        ts_parts = [shard_of(own_keys, n_shards).astype(np.int64)]
+        if len(hint):
+            hk = hint["key"].to_numpy(np.int64)
+            tk_parts.append(hk)
+            ts_parts.append(
+                shard_of(hint["other"].to_numpy(np.int64), n_shards)
+                .astype(np.int64)
+            )
+        packed = np.unique(
+            np.concatenate(tk_parts) * np.int64(n_shards)
+            + np.concatenate(ts_parts)
+        )
+        tkeys = packed // n_shards
+        tshard = (packed % n_shards).astype(np.int32)
+        # keep only targets whose key has star runs in this bucket
+        # (a hint key with no star rows here contributes nothing)
+        pos = np.searchsorted(own_keys, tkeys)
+        pos = np.minimum(pos, len(own_keys) - 1)
+        ok = own_keys[pos] == tkeys
+        tkeys, tshard = tkeys[ok], tshard[ok]
+        if not len(tkeys):
             return SHARD_STAR_SCHEMA.empty_table()
-        # target shards per key: own shard + shards of in-neighbor centers
-        own = star[["key"]].drop_duplicates().copy()
-        own["shard"] = shard_of(own["key"], n_shards)
-        inn = hint[["key", "other"]].copy()
-        inn["shard"] = shard_of(inn["other"], n_shards)
-        targets = pd.concat(
-            [own[["key", "shard"]], inn[["key", "shard"]]]
-        ).drop_duplicates()
-        out = lists.merge(targets, on="key", how="inner")
-        if out.empty:
-            return SHARD_STAR_SCHEMA.empty_table()
+        # replicate each key's runs once per target shard: runs are
+        # key-contiguous, so a searchsorted pair gives each target its
+        # run range, expanded by one repeat + concatenated aranges
+        run_lo = np.searchsorted(run_key, tkeys, side="left")
+        run_hi = np.searchsorted(run_key, tkeys, side="right")
+        cnt = run_hi - run_lo
+        idx = np.repeat(run_lo, cnt) + _concat_aranges(cnt)
+        out_shard = np.repeat(tshard, cnt)
+        fdict = pa.array(np.asarray(funiq, object), pa.string())
+        odict = pa.array(np.asarray(ouniq, object), pa.string())
+        take = pa.array(idx.astype(np.int64))
         return pa.Table.from_arrays(
             [
-                pa.array(out["shard"].to_numpy(np.int32), pa.int32()),
-                pa.array(out["key"].to_numpy(np.int64), pa.int64()),
-                pa.array(out["feat"], pa.string()),
-                pa.array(out["other_feat"], pa.string()),
-                pa.array(out["other"].tolist(), pa.list_(pa.int64())),
+                pa.array(out_shard, pa.int32()),
+                pa.array(run_key[idx], pa.int64()),
+                pa.DictionaryArray.from_arrays(
+                    pa.array(run_f[idx].astype(np.int32)), fdict
+                ).cast(pa.string()),
+                pa.DictionaryArray.from_arrays(
+                    pa.array(run_o[idx].astype(np.int32)), odict
+                ).cast(pa.string()),
+                lists.take(take),
             ],
             schema=SHARD_STAR_SCHEMA,
         )
 
-    return lambda t: per_bucket(t.to_pandas())
+    return per_bucket
 
 
 def build_shard_stars(
@@ -584,7 +639,18 @@ def coordinated_level_loop(
 ) -> list[dict]:
     """The driver side of the salted mode: per level, fan expand() out to
     every shard, union distinct participants (exact, no sketches), apply
-    the reference's select + Lemma-2/3 filters globally."""
+    the reference's select + Lemma-2/3 filters globally.
+
+    On pipelining the level barrier: level k's expansion CANNOT start
+    before level k-1's distinct reduce completes -- its candidate set
+    is gen_candidates(P_{k-1}) and P_{k-1} is decided by the reduced
+    distinct counts (and Lemma 3 additionally needs every PI of level
+    k-1). What CAN overlap already does: the reduce futures launch
+    before the driver's row/root count sums, prune_tables() is
+    fire-and-forget, and the reduce fan-in runs as n_red parallel
+    tasks. The leftover serial slice is the driver-side select loop
+    (~ms per level); speculative expansion of not-yet-selected
+    candidates would trade exactness guarantees for < 2 s per job."""
     import os as _os
     import time as _time
 

@@ -96,6 +96,18 @@ def edge_table(t: pa.Table, rank: dict, n_buckets: int) -> pa.Table:
     # end-to-end when ids are dictionary codes (object-dtype mixing
     # measured as a major star-build cost)
     int_ids = np.issubdtype(np.asarray(ia).dtype, np.integer)
+    if int_ids and c_id.dtype != np.int32 and len(c_id):
+        # dense dictionary codes are < 2^31 by job contract (the StarCSR
+        # packing guard raises downstream otherwise): int32 halves the
+        # edge exchange's id bytes — the largest shuffle of the mining
+        # job. Value-checked so an (already-invalid) overflowing job
+        # still reaches the clear downstream error instead of wrapping.
+        if (
+            min(c_id.min(), o_id.min()) >= 0
+            and max(c_id.max(), o_id.max()) < (1 << 31)
+        ):
+            c_id = c_id.astype(np.int32)
+            o_id = o_id.astype(np.int32)
     fill = np.full(
         len(o_id), -1, dtype=c_id.dtype
     ) if int_ids else np.full(len(o_id), "", dtype=object)
