@@ -93,6 +93,19 @@ def test_truncated_and_garbage_rejected():
         J.decode_jpeg(b"not a jpeg")
     with pytest.raises(Exception):
         J.decode_jpeg(data[:20])  # header only, no SOF/SOS
+    # stream ending in a bare 0xFF must raise ValueError (not IndexError)
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(b"\xff\xd8\xff")
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(b"\xff\xd8\xff\xff\xff")  # fill bytes then EOF
+
+
+def test_encode_rejects_malformed_input_loudly():
+    # explicit ValueError (not assert) even under python -O
+    with pytest.raises(ValueError, match="uint8"):
+        J.encode_jpeg(np.zeros((8, 8, 3), np.float64))
+    with pytest.raises((ValueError, Exception)):
+        J.encode_jpeg(np.zeros((8, 8, 4), np.uint8))
 
 
 def test_legacy_fakejpg_blobs_still_decode():
