@@ -144,6 +144,78 @@ def broadcast_join(
     return left.map_batches(probe, batch_format="pyarrow")
 
 
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    right_columns: list[str],
+    right_key: str | None = None,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Inner equi-join of two LARGE Datasets — the shuffle counterpart
+    of ``broadcast_join`` for when neither side is dimension-sized
+    (fact x fact: lineitem x orders, events x labels).
+
+    Both sides are hash-bucketed on the key (ONE static split exchange
+    each — ``stages/exchange.static_cogroup_exchange`` — not Ray's
+    sort-based groupby shuffle, whose boundary sampling degenerates on
+    small key spaces) and every bucket task probes its left rows against
+    its right rows with one sort + two searchsorteds + a range gather:
+    fully vectorized many-to-many expansion, no per-row Python, no
+    driver materialization of either side.
+
+    Partitioning assumption (custom-operator contract): one BUCKET (not
+    one key) must fit in a task — with the default 64 buckets that is
+    ~1/64th of each side, and ``n_buckets`` scales with input size. A
+    pathological hot KEY still lands in one bucket; the salt-and-merge
+    treatment (split the hot key, replicate the right side's rows per
+    salt) applies as in the mining path's salted mode.
+
+    ``key`` must be integer-typed on both sides (crawl/warehouse fact
+    keys are); right keys may repeat (many-to-many expands). Right
+    columns are appended after the left columns; collisions raise."""
+    from ..mining_core import _range_gather
+    from ..stages.exchange import static_cogroup_exchange
+    from ..stages.stars import _stable_bucket
+
+    rk = right_key or key
+    right = right.select_columns([rk] + list(right_columns))
+
+    def add_bucket(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False)
+            if not np.issubdtype(k.dtype, np.integer):
+                raise TypeError(f"hash_join key {col!r} must be integer-typed")
+            return t.append_column(
+                "__jb", pa.array(_stable_bucket(k, n_buckets), pa.int64())
+            )
+        return fn
+
+    lb = left.map_batches(add_bucket(key), batch_format="pyarrow")
+    rb = right.map_batches(add_bucket(rk), batch_format="pyarrow")
+
+    def probe(tl: pa.Table, tr: pa.Table) -> pa.Table:
+        tl = tl.drop_columns(["__jb"])
+        tr = tr.drop_columns(["__jb"])
+        for c in right_columns:
+            if c in tl.column_names:
+                raise ValueError(f"column collision in hash_join: {c!r}")
+        lk = tl[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        rkv = tr[rk].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        order = np.argsort(rkv, kind="stable")  # stable: right row order
+        rs = rkv[order]
+        lo = np.searchsorted(rs, lk, "left")
+        cnt = np.searchsorted(rs, lk, "right") - lo
+        rep = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+        gather = order[_range_gather(lo, cnt)]
+        out = tl.take(pa.array(rep))
+        for c in right_columns:
+            out = out.append_column(c, tr[c].combine_chunks().take(pa.array(gather)))
+        return out
+
+    return static_cogroup_exchange(lb, rb, "__jb", n_buckets, probe)
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

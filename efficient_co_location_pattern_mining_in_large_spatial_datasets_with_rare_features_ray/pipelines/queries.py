@@ -559,6 +559,92 @@ SQL_ORDERS_ENRICHED = """SELECT o_orderkey, o_custkey, o_totalprice,
 FROM orders JOIN customer ON o_custkey = c_custkey"""
 
 
+def q_lineitem_enriched(sf_dir: str) -> Dataset:
+    """Large-large shuffle equi-join (fact x fact): every lineitem row
+    picks up its order's custkey + totalprice. Neither side is
+    dimension-sized, so this is the hash-bucketed co-group exchange
+    (pipelines/joins.hash_join), not the broadcast path — one static
+    split exchange per side, vectorized searchsorted probe per bucket,
+    many-to-many expansion supported."""
+    import ray.data
+
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return hash_join(
+        li, orders, key="l_orderkey",
+        right_columns=["o_custkey", "o_totalprice"],
+        right_key="o_orderkey",
+    )
+
+
+SQL_LINEITEM_ENRICHED = """SELECT l_orderkey, l_linenumber, l_extendedprice,
+       o_custkey, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+
+
+ROLL_WINDOW = 4  # current row + 3 preceding
+
+
+def q_events_rolling(sf_dir: str) -> Dataset:
+    """Per-key ordered window functions over the event log: row_number,
+    lag(value), and a rolling max over the last ROLL_WINDOW rows — the
+    training-data window family beyond the tumbling aggregate
+    (events_windowed) and the gap sessionizer (events_sessions). One
+    hash shuffle (groupby user), then fully vectorized in-group kernels:
+    shifted views for lag, a maximum-of-shifted-views tree for the
+    rolling max (exact — no floating accumulation, so it hash-matches
+    the SQL window oracle bit-for-bit). Same one-key-per-task assumption
+    as the sessionizer (a user's history is bounded)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        v = df["value"].to_numpy(np.float64)
+        n = len(v)
+        pad = np.concatenate([np.full(ROLL_WINDOW - 1, -np.inf), v])
+        roll_max = pad[ROLL_WINDOW - 1:].copy()
+        for s in range(1, ROLL_WINDOW):
+            np.maximum(roll_max, pad[ROLL_WINDOW - 1 - s: len(pad) - s],
+                       out=roll_max)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "ts": df["ts"].to_numpy(),
+                "rn": np.arange(1, n + 1, dtype=np.int64),
+                "prev_value": np.concatenate([[0.0], v[:-1]]),
+                "roll_max": roll_max,
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_EVENTS_ROLLING = f"""SELECT event_id, user_id, ts,
+       row_number() OVER w AS rn,
+       COALESCE(lag(value) OVER w, 0.0) AS prev_value,
+       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
+                        AND CURRENT ROW) AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 SQL_EVENTS_ASOF = f"""SELECT l.event_id, l.user_id, l.ts,
        r.ts AS asof_ts, r.value AS asof_value
 FROM events l
@@ -895,6 +981,59 @@ SQL_DOCS_TOPK = """SELECT doc_id, source, n_chars FROM (
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents
 ) WHERE rn <= 3"""
+
+
+def q_docs_median_chars(sf_dir: str) -> Dataset:
+    """EXACT grouped percentile (median doc length per source) without
+    sorting the corpus: per-batch partial (source, n_chars) value-counts
+    -> one small groupby-sum over the distinct-value space -> per-source
+    discrete quantile read off the count histogram (first value whose
+    cumulative count reaches ceil(n/2) — DuckDB quantile_disc
+    semantics). The only shuffle moves (sources x distinct lengths)
+    count rows, not documents, so it is scale-clean for any corpus whose
+    VALUE domain is bounded (lengths, scores, token counts) — the
+    pre-aggregate pattern the mining path's feature-count scan uses."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            df.groupby(["source", "n_chars"], sort=False, observed=True)
+            .size().reset_index(name="n")
+        )
+        vc["n"] = vc["n"].astype(np.int64)
+        return vc
+
+    counts = docs.map_batches(partial, batch_format="pandas")
+
+    def quantile_from_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("n_chars", sort=True)["n"].sum()
+        )  # distinct lengths, ascending
+        cum = g.cumsum().to_numpy()
+        total = int(cum[-1])
+        pos = (total + 1) // 2  # ceil(0.5 * n): quantile_disc(0.5)
+        idx = int(np.searchsorted(cum, pos))
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "median_chars": np.array([g.index[idx]], np.int64),
+            }
+        )
+
+    return counts.groupby("source").map_groups(
+        quantile_from_counts, batch_format="pandas"
+    )
+
+
+SQL_DOCS_MEDIAN = """SELECT source,
+       quantile_disc(n_chars, 0.5) AS median_chars
+FROM documents GROUP BY source"""
 
 
 def q_ann_topk_int8(sf_dir: str) -> pa.Table:
@@ -1341,11 +1480,15 @@ SPATIAL_QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "orders_enriched": q_orders_enriched,
+    "lineitem_enriched": q_lineitem_enriched,
+    "events_rolling": q_events_rolling,
 }
 
 SPATIAL_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
+    "lineitem_enriched": SQL_LINEITEM_ENRICHED,
+    "events_rolling": SQL_EVENTS_ROLLING,
     "colo_knn": SQL_KNN,
     "colo_point_in_polygon": SQL_PIP,
     "colo_rasterize": SQL_RASTERIZE,
@@ -1387,6 +1530,7 @@ DATA_QUERIES = {
     "image_stats": q_image_stats,
     "doc_sample": q_doc_sample,
     "docs_topk_per_source": q_docs_topk_per_source,
+    "docs_median_chars": q_docs_median_chars,
     "image_resize": q_image_resize,
     "embed_quantize": q_embed_quantize,
     "ann_topk_int8": q_ann_topk_int8,
@@ -1431,6 +1575,7 @@ DATA_SQL = {
     "embed_neardup_lsh": SQL_EMBED_NEARDUP,
     "doc_sample": SQL_DOC_SAMPLE,
     "docs_topk_per_source": SQL_DOCS_TOPK,
+    "docs_median_chars": SQL_DOCS_MEDIAN,
     "embed_quantize": SQL_EMBED_QUANTIZE,
 }
 

@@ -169,6 +169,66 @@ def static_group_exchange(
     return rd.from_arrow_refs(tasks)
 
 
+@ray.remote
+def _apply_cogroup(fn, schema_l, schema_r, n_l: int, *slices) -> pa.Table:
+    """One bucket of a TWO-sided exchange: the first ``n_l`` slices are
+    the left side's, the rest the right's. fn(left_table, right_table)."""
+    ls = [s for s in slices[:n_l] if s is not None and s.num_rows]
+    rs = [s for s in slices[n_l:] if s is not None and s.num_rows]
+    tl = (
+        pa.concat_tables(ls).combine_chunks() if ls
+        else schema_l.empty_table()
+    )
+    tr = (
+        pa.concat_tables(rs).combine_chunks() if rs
+        else schema_r.empty_table()
+    )
+    return fn(tl, tr)
+
+
+def static_cogroup_exchange(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    n_parts: int,
+    fn: Callable[[pa.Table, pa.Table], pa.Table],
+) -> Dataset:
+    """Co-grouped two-Dataset exchange: both sides carry an int bucket
+    column ``key`` (values in ``[0, n_parts)``); every bucket task
+    receives ALL left rows and ALL right rows of its bucket as two Arrow
+    tables. This is the join/cogroup counterpart of
+    ``static_group_exchange`` -- same linear split (one task per block,
+    ``num_returns`` zero-copy slices), same deterministic placement, one
+    exchange for both inputs instead of a tagged union (no null-padding
+    the narrower side into a common schema, no per-row side flags).
+    Either side of a bucket may be empty; fn gets a correctly-typed
+    zero-row table for it."""
+    lmat = left.materialize()
+    rmat = right.materialize()
+    schema_l = lmat.schema().base_schema
+    schema_r = rmat.schema().base_schema
+    lrefs = lmat.to_arrow_refs()
+    rrefs = rmat.to_arrow_refs()
+    grids = [
+        _split_by_key.options(num_returns=n_parts).remote(r, key, n_parts)
+        for r in (*lrefs, *rrefs)
+    ]
+    if n_parts == 1:
+        grids = [[g] for g in grids]
+    n_l = len(lrefs)
+    fn_ref = ray.put(fn)
+    import ray.data as rd
+
+    tasks = [
+        _apply_cogroup.remote(
+            fn_ref, schema_l, schema_r, n_l,
+            *[grids[b][i] for b in range(len(grids))],
+        )
+        for i in range(n_parts)
+    ]
+    return rd.from_arrow_refs(tasks)
+
+
 def _split_table(t: pa.Table, key: str, n: int) -> tuple:
     """Sort-and-slice one table into n zero-copy sub-tables by its int
     key column (values in [0, n)) -- the local core of _split_by_key."""

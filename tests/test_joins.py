@@ -128,3 +128,73 @@ def test_broadcast_join_enrichment(ray_session):
     with pytest.raises(ValueError, match="duplicate"):
         broadcast_join(left, dup, key="k",
                        right_columns=["name", "grp"], right_key="rk")
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_hash_join_matches_pandas_merge(ray_session, seed):
+    """Shuffle equi-join vs pandas merge: many-to-many expansion,
+    unmatched rows on both sides dropped, multi-bucket exchange."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 600).astype(np.int64),
+        "lv": np.round(rng.uniform(0, 10, 600), 3),
+        "tag": rng.choice(["x", "y", "z"], 600),
+    })
+    right = pd.DataFrame({
+        # keys 25..74: half overlap, duplicates on both sides
+        "rk": rng.integers(25, 75, 200).astype(np.int64),
+        "rv": rng.integers(0, 1000, 200).astype(np.int64),
+        "rname": rng.choice(["p", "q"], 200),
+    })
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            key="k", right_columns=["rv", "rname"], right_key="rk",
+            n_buckets=7,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv", "rname"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[
+            ["k", "lv", "tag", "rv", "rname"]
+        ]
+        .sort_values(["k", "lv", "rv", "rname"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_join_contracts(ray_session):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2], np.int64), "rv": [1.0, 2.0]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1], np.int64), "rv": [9.0]}))
+    # right column colliding with a left column raises in the probe
+    with pytest.raises(Exception, match="collision"):
+        hash_join(left, right, key="k", right_columns=["rv"]).to_pandas()
+
+    # non-integer key rejected
+    sleft = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+    with pytest.raises(Exception, match="integer"):
+        hash_join(sleft, right, key="k", right_columns=["rv"]).to_pandas()
+
+    # disjoint keys -> typed empty result with the joined schema
+    far = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([100], np.int64), "extra": [5.5]}))
+    out = hash_join(left, far, key="k", right_columns=["extra"], n_buckets=4)
+    assert out.count() == 0
+    # every bucket block keeps the joined schema (typed empty tables);
+    # Ray's to_pandas drops columns on an all-empty dataset, so assert
+    # on the Dataset schema
+    assert out.schema().names == ["k", "rv", "extra"]

@@ -81,3 +81,95 @@ def test_grouped_topk_keeps_null_group(ray_session):
     # SQL PARTITION BY keeps a NULL partition: top-2 of the null group
     null_rows = got[got["g"].isna()]
     assert sorted(null_rows["id"]) == [1, 2]
+
+
+def test_events_rolling_matches_pandas(ray_session):
+    """Window family (rn / lag / rolling max) vs pandas groupby.rolling
+    on a random keyed log with duplicate timestamps."""
+    import ray.data
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.queries import (
+        ROLL_WINDOW,
+        q_events_rolling,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            # coarse ts -> plenty of (user, ts) duplicates for the
+            # (ts, event_id) tie-break
+            "ts": np.datetime64("2024-01-01", "us")
+            + rng.integers(0, 50, n).astype("timedelta64[s]").astype(
+                "timedelta64[us]"
+            ),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+            "event_type": "x",
+            "props": "",
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(f"{td}/events.parquet")
+        got = (
+            q_events_rolling(td)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    w = (
+        df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    g = w.groupby("user_id", sort=False)
+    w["rn"] = g.cumcount() + 1
+    w["prev_value"] = g["value"].shift(1).fillna(0.0)
+    w["roll_max"] = (
+        g["value"].rolling(ROLL_WINDOW, min_periods=1).max().to_numpy()
+    )
+    want = (
+        w[["event_id", "user_id", "ts", "rn", "prev_value", "roll_max"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_docs_median_chars_exact(ray_session):
+    """Grouped discrete median from the distributed count histogram ==
+    numpy's positional definition (DuckDB quantile_disc: element at
+    cumulative count >= ceil(n/2)), odd and even group sizes, ties."""
+    import tempfile
+
+    import ray.data
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.queries import (
+        q_docs_median_chars,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for src, size in [("a", 101), ("b", 100), ("c", 1), ("d", 2)]:
+        for v in rng.integers(0, 12, size):  # heavy ties
+            rows.append((src, int(v)))
+    df = pd.DataFrame(rows, columns=["source", "n_chars"])
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    df["text"] = ""
+    df["lang"] = "en"
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(f"{td}/documents.parquet")
+        got = (
+            q_docs_median_chars(td)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+    want_rows = []
+    for src, grp in df.groupby("source"):
+        v = np.sort(grp["n_chars"].to_numpy())
+        want_rows.append((src, int(v[(len(v) + 1) // 2 - 1])))
+    want = pd.DataFrame(want_rows, columns=["source", "median_chars"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
