@@ -590,6 +590,45 @@ SQL_LINEITEM_ENRICHED = """SELECT l_orderkey, l_linenumber, l_extendedprice,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
 
 
+def q_events_distinct_users(sf_dir: str) -> Dataset:
+    """Exact distinct-count per key (unique users per event type) with
+    per-batch dedup BEFORE the shuffle: each batch emits its distinct
+    (event_type, user_id) pairs, the tiny groupby over the deduped pair
+    space counts once more, then a count-per-key aggregate — the
+    standard cardinality pre-aggregate (only distinct pairs move, never
+    raw events). The mining path's exact distinct-participant reduce is
+    the heavyweight sibling of this op."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = ev.map_batches(partial, batch_format="pandas")
+
+    def count_unique(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users": np.array([df["user_id"].nunique()], np.int64),
+            }
+        )
+
+    return pairs.groupby("event_type").map_groups(
+        count_unique, batch_format="pandas"
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """SELECT event_type,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""
+
+
 ROLL_WINDOW = 4  # current row + 3 preceding
 
 
@@ -1482,6 +1521,7 @@ SPATIAL_QUERIES = {
     "orders_enriched": q_orders_enriched,
     "lineitem_enriched": q_lineitem_enriched,
     "events_rolling": q_events_rolling,
+    "events_distinct_users": q_events_distinct_users,
 }
 
 SPATIAL_SQL = {
@@ -1489,6 +1529,7 @@ SPATIAL_SQL = {
     "events_asof": SQL_EVENTS_ASOF,
     "lineitem_enriched": SQL_LINEITEM_ENRICHED,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "colo_knn": SQL_KNN,
     "colo_point_in_polygon": SQL_PIP,
     "colo_rasterize": SQL_RASTERIZE,

@@ -173,3 +173,37 @@ def test_docs_median_chars_exact(ray_session):
         want_rows.append((src, int(v[(len(v) + 1) // 2 - 1])))
     want = pd.DataFrame(want_rows, columns=["source", "median_chars"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_distinct_users_exact(ray_session):
+    import tempfile
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.queries import (
+        q_events_distinct_users,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": np.datetime64("2024-01-01", "us"),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(f"{td}/events.parquet")
+        got = (
+            q_events_distinct_users(td)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+    want = (
+        df.groupby("event_type")["user_id"].nunique().rename("n_users")
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
