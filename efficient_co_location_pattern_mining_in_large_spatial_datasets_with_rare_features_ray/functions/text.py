@@ -96,16 +96,25 @@ def lang_id(texts: pd.Series) -> np.ndarray:
     """Heuristic language id: argmax of per-language stopword hit counts
     with deterministic tiebreak (profile order), 'und' when no profile
     scores. A real model would slot into the same actor stage."""
-    out = np.empty(len(texts), dtype=object)
-    profiles = list(_LANG_PROFILES.items())
-    for i, t in enumerate(texts):
-        toks = t.lower().split()
-        best, best_score = "und", 0
-        for lang, prof in profiles:
-            score = sum(1 for w in toks if w in prof)
-            if score > best_score:
-                best, best_score = lang, score
-        out[i] = best
+    n = len(texts)
+    toks = texts.str.lower().str.split()
+    lens = toks.str.len().fillna(0).to_numpy(np.int64)
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((n, len(langs)), np.int64)
+    if lens.sum() > 0:
+        nz = lens > 0
+        flat = pd.Series(np.concatenate(toks.to_numpy()[nz]))
+        doc_of = np.repeat(np.flatnonzero(nz), lens[nz])
+        # one vectorized isin + bincount per profile (4 profiles), not a
+        # Python loop per row: counts OCCURRENCES, same as the original
+        for j, lang in enumerate(langs):
+            hit = flat.isin(_LANG_PROFILES[lang]).to_numpy()
+            scores[:, j] = np.bincount(doc_of[hit], minlength=n)
+    # argmax takes the FIRST max -> profile-order tie-break, 'und' when
+    # no profile scores (both exactly the original per-row semantics)
+    best = np.argmax(scores, axis=1)
+    out = np.array(langs, dtype=object)[best]
+    out[scores.max(axis=1) == 0] = "und"
     return out
 
 

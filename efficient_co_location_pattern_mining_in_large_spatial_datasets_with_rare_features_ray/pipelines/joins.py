@@ -291,3 +291,150 @@ def asof_join(
         )
 
     return tagged.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def range_join(
+    points: Dataset,
+    intervals: Dataset,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    interval_cols: list[str],
+    n_tiles: int | None = None,
+    max_tiles: int = 4096,
+    bounds: tuple[float, float] | None = None,
+) -> Dataset:
+    """Inner range (interval) join of two LARGE Datasets on the non-equi
+    predicate ``lo <= value <= hi`` (inclusive both ends, the SQL
+    BETWEEN): every point row is paired with every interval row whose
+    band contains its value. Stabbing windows over event streams,
+    shipdate-in-order-window scans, price-band tagging -- the join shape
+    an equi-join engine cannot express.
+
+    Ray-Data-first plan (the 1-D analogue of the mining path's grid
+    distance join, stages/grid.py): ONE small metadata aggregate
+    computes the point domain ``[pmin, pmax]`` and the mean interval
+    length; the domain splits into equi-width tiles (width ~= the mean
+    interval length, so the average interval replicates to ~2 tiles and
+    a tile's candidate prefix stays short); intervals flat-map-replicate
+    to every tile they overlap, points route to exactly ONE tile, and a
+    static co-group exchange (stages/exchange.py -- no sort-based
+    shuffle, no boundary sampling) probes each tile with one argsort +
+    one searchsorted + a range-gather: candidates per point are the
+    lo-sorted prefix ``lo <= v``, then a vectorized ``hi >= v`` mask
+    keeps true matches. A (point, interval) match meets in exactly one
+    task -- the point's home tile -- so no pair dedup is needed.
+
+    Partitioning assumptions (custom-operator contract):
+    * one TILE must fit in a task (equi-width tiles; heavily skewed
+      point values concentrate in one tile -- raise ``n_tiles`` or
+      pre-scale the value like the salted mining mode salts hot roots);
+    * probe work per tile is O(points x intervals-with-lo<=v), bounded
+      by tile width ~= interval length; intervals much longer than the
+      tile width only add replication (linear), never probe cost.
+
+    ``value/lo/hi`` must be numeric (cast timestamps to int64 epoch
+    units first). Intervals entirely outside the point domain are
+    dropped at the replication step (they can match nothing). Interval
+    columns are appended after the point columns; collisions raise.
+    Pass ``bounds=(pmin, pmax)`` covering the point domain to skip the
+    min/max pass over the (big) point side — the scale path when the
+    domain is known (epoch range of a crawl, a fixed price scale);
+    points outside supplied bounds are clamped into the edge tiles,
+    which stays correct (only tile balance suffers)."""
+    from ..stages.exchange import static_cogroup_exchange
+
+    for c in interval_cols:
+        if c in points.schema().names:
+            raise ValueError(f"column collision in range_join: {c!r}")
+
+    # metadata passes as per-batch PARTIALS + a driver merge of one tiny
+    # row per block (no shuffle, no sort -- Dataset.aggregate's generic
+    # path costs a full exchange, ~10x this on small inputs)
+    def _minmax_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array([float(np.min(v))]),
+                         "mx": pa.array([float(np.max(v))])})
+
+    def _len_partial(t: pa.Table) -> pa.Table:
+        lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"s": pa.array([float(np.sum(hi - lo))]),
+                         "n": pa.array([t.num_rows])})
+
+    if bounds is not None:
+        pmin, pmax = float(bounds[0]), float(bounds[1])
+    else:
+        parts = points.map_batches(
+            _minmax_partial, batch_format="pyarrow"
+        ).take_all()
+        if not parts:
+            raise ValueError("range_join: empty point side")
+        pmin = min(p["mn"] for p in parts)
+        pmax = max(p["mx"] for p in parts)
+    span = pmax - pmin
+    if n_tiles is None:
+        lens = intervals.map_batches(
+            _len_partial, batch_format="pyarrow"
+        ).take_all()
+        n_iv = sum(p["n"] for p in lens)
+        ilen = (sum(p["s"] for p in lens) / n_iv) if n_iv else span
+        width = max(float(ilen), span / max_tiles, 1e-300)
+        n_tiles = max(1, min(max_tiles, int(span / width) + 1))
+    n_tiles = int(n_tiles)
+    w = span / n_tiles if span > 0 else 1.0
+
+    def tile_of(v: np.ndarray) -> np.ndarray:
+        t = np.floor((v - pmin) / w).astype(np.int64)
+        return np.clip(t, 0, n_tiles - 1)
+
+    def route_points(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("__tile", pa.array(tile_of(v), pa.int64()))
+
+    def replicate_intervals(t: pa.Table) -> pa.Table:
+        lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (hi >= pmin) & (lo <= pmax) & (lo <= hi)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return t.append_column("__tile", pa.array([], pa.int64()))
+        t0 = tile_of(np.maximum(lo[keep], pmin))
+        t1 = tile_of(np.minimum(hi[keep], pmax))
+        cnt = t1 - t0 + 1
+        from ..mining_core import _range_gather
+
+        rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), cnt)
+        tiles = _range_gather(t0, cnt)  # t0[i] .. t1[i] per interval
+        out = t.take(pa.array(rep))
+        return out.append_column("__tile", pa.array(tiles, pa.int64()))
+
+    pts = points.map_batches(route_points, batch_format="pyarrow")
+    ivs = intervals.select_columns(
+        list(dict.fromkeys([lo_col, hi_col, *interval_cols]))
+    ).map_batches(replicate_intervals, batch_format="pyarrow")
+
+    from ..mining_core import _range_gather
+
+    def probe(tp: pa.Table, ti: pa.Table) -> pa.Table:
+        tp = tp.drop_columns(["__tile"])
+        ti = ti.drop_columns(["__tile"])
+        v = tp[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = ti[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = ti[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(lo, kind="stable")
+        lo_s, hi_s = lo[order], hi[order]
+        cnt = np.searchsorted(lo_s, v, side="right")
+        rep = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+        cand = _range_gather(np.zeros(len(v), np.int64), cnt)
+        ok = hi_s[cand] >= v[rep]
+        out = tp.take(pa.array(rep[ok]))
+        gather = pa.array(order[cand[ok]])
+        for c in interval_cols:
+            out = out.append_column(c, ti[c].combine_chunks().take(gather))
+        return out
+
+    return static_cogroup_exchange(pts, ivs, "__tile", n_tiles, probe)

@@ -3,11 +3,14 @@
 Images are opaque ``binary`` columns with typed metadata (w, h, fmt);
 every pixel-touching stage is an actor-pool ``map_batches`` (codec state
 per actor, small batches because rows are wide). The sandbox has no
-image libraries: PNG and baseline JPEG (JFIF) codecs plus
+media libraries: PNG and baseline JPEG (JFIF) codecs plus
 nearest-neighbor resize are real pure-numpy implementations written
-from the public specs; audio / video codecs are STUBBED behind
-NotImplementedError with the Ray-side plumbing (schemas, batch sizes,
-actor signatures) real and tested.
+from the public specs, and so are the audio path (RIFF/WAVE PCM16,
+sources/wav.py -> AudioFeatures) and the video frame-sampling path
+(MJPEG = concatenated JFIF, sources/mjpeg.py -> MjpegFrameStats).
+Only general COMPRESSED audio/video codecs (mp3/aac/h264...) are
+stubbed behind NotImplementedError, with the Ray-side plumbing
+(schemas, batch sizes, actor signatures) real and tested.
 """
 
 from __future__ import annotations
@@ -343,13 +346,125 @@ def phash_neardup(
 def sample_video_frames(*_args, **_kwargs):
     """STUB: video frame sampling needs a real demuxer (not in this
     container). The distributed shape would be identical to Resize:
-    an actor-pool map_batches over binary rows."""
-    raise NotImplementedError("video codecs unavailable in this environment")
+    an actor-pool map_batches over binary rows. (MJPEG-style frame
+    streams ARE supported — see ``mjpeg_frame_stats`` below, which
+    demuxes concatenated JFIF frames with the real JPEG codec.)"""
+    raise NotImplementedError(
+        "general video codecs unavailable in this environment; "
+        "use mjpeg_frame_stats for motion-JPEG streams"
+    )
 
 
-def extract_audio_features(*_args, **_kwargs):
-    """STUB: audio decode needs a real codec (not in this container)."""
-    raise NotImplementedError("audio codecs unavailable in this environment")
+class MjpegFrameStats:
+    """Actor stage: demux MJPEG (concatenated-JFIF) clips with the
+    structural splitter (sources/mjpeg.py), sample every ``every_k``-th
+    frame, decode with the real JPEG codec and emit per-frame stats —
+    the frame-sample + feature-extract step of a video curation
+    pipeline. One input row (clip) fans out to one output row per
+    sampled frame."""
+
+    def __init__(self, every_k: int = 1):
+        if every_k < 1:
+            raise ValueError("every_k must be >= 1")
+        self.k = int(every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.mjpeg import split_mjpeg
+
+        ids: list[str] = []
+        fidx: list[int] = []
+        nf: list[int] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        mg: list[float] = []
+        for cid, blob in zip(
+            batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            frames = split_mjpeg(blob)
+            for j in range(0, len(frames), self.k):
+                px = decode(frames[j], "jpeg")
+                ids.append(cid)
+                fidx.append(j)
+                nf.append(len(frames))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                mg.append(round(float(px.astype(np.float64).mean()), 6))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "mean_gray": pa.array(mg, pa.float64()),
+            }
+        )
+
+
+def mjpeg_frame_stats(
+    clips: Dataset, every_k: int = 1, concurrency: int = 2
+) -> Dataset:
+    """Distributed frame sampling + stats over a (clip_id, bytes) table
+    of MJPEG clips — actor-pool map_batches, small batches because one
+    row holds a whole clip."""
+    return clips.map_batches(
+        MjpegFrameStats,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+class AudioFeatures:
+    """Actor stage: decode RIFF/WAVE PCM16 clips (real from-spec numpy
+    codec, sources/wav.py) and extract the standard clip-level features
+    a training-data pipeline filters on: duration, RMS energy, peak
+    amplitude, zero-crossing count. Integer features are exact; the two
+    float features are deterministic per clip (fixed-order numpy
+    reductions)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.wav import decode_wav
+
+        n = batch.num_rows
+        n_samples = np.zeros(n, np.int64)
+        rate = np.zeros(n, np.int64)
+        dur = np.zeros(n, np.float64)
+        rms = np.zeros(n, np.float64)
+        peak = np.zeros(n, np.int64)
+        zc = np.zeros(n, np.int64)
+        for i, blob in enumerate(batch["bytes"].to_pylist()):
+            s, r = decode_wav(blob)
+            n_samples[i] = s.shape[0]
+            rate[i] = r
+            dur[i] = s.shape[0] / r
+            x = s.astype(np.float64)
+            rms[i] = np.sqrt((x * x).mean()) if s.size else 0.0
+            peak[i] = np.abs(s.astype(np.int32)).max() if s.size else 0
+            # sign changes on channel 0 (int-exact; >=0 vs <0)
+            c0 = s[:, 0] >= 0
+            zc[i] = int(np.count_nonzero(c0[1:] != c0[:-1]))
+        return pa.table(
+            {
+                "clip_id": batch["clip_id"],
+                "n_samples": pa.array(n_samples),
+                "sample_rate": pa.array(rate),
+                "duration_s": pa.array(dur),
+                "rms": pa.array(np.round(rms, 6)),
+                "peak": pa.array(peak),
+                "zero_crossings": pa.array(zc),
+            }
+        )
+
+
+def extract_audio_features(clips: Dataset, concurrency: int = 2) -> Dataset:
+    """Distributed audio feature extraction over a (clip_id, bytes)
+    table of RIFF/WAVE PCM16 clips — actor-pool map_batches, small
+    batches because rows are wide binary."""
+    return clips.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=concurrency, num_cpus=1,
+    )
 
 
 def mine_image_table(

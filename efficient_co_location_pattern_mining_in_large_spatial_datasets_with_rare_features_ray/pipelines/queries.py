@@ -590,6 +590,82 @@ SQL_LINEITEM_ENRICHED = """SELECT l_orderkey, l_linenumber, l_extendedprice,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
 
 
+RANGE_JOIN_WINDOW_DAYS = 7
+
+
+def q_lineitem_in_window(sf_dir: str) -> pd.DataFrame:
+    """Non-equi RANGE join (pipelines/joins.range_join): pair every
+    lineitem with every order whose 7-day activity window contains the
+    lineitem's shipdate — no key equality anywhere, the join shape an
+    equi-join engine cannot express (~2.9M internal pairs at sf0.01,
+    never driver-materialized). The pair stream folds into a per-priority
+    (n_pairs, sum_qty) aggregate with per-batch partials before the tiny
+    final groupby. sum_qty is exact: quantities are integral doubles, so
+    the sum is order-independent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from .joins import range_join
+
+    def _us(s: pd.Series) -> np.ndarray:
+        # unit-proof epoch micros (pandas may hand back ns- or us-unit
+        # datetimes depending on version)
+        return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"ship_us": _us(df["l_shipdate"]),
+             "l_quantity": df["l_quantity"]}
+        ),
+        batch_format="pandas",
+    )
+    day_us = 86_400_000_000
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"lo_us": _us(df["o_orderdate"]),
+             "hi_us": _us(df["o_orderdate"])
+             + RANGE_JOIN_WINDOW_DAYS * day_us,
+             "priority": df["o_orderpriority"]}
+        ),
+        batch_format="pandas",
+    )
+    pairs = range_join(
+        li, orders, value_col="ship_us", lo_col="lo_us", hi_col="hi_us",
+        interval_cols=["priority"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"priority": df["priority"], "n_pairs": 1,
+                          "sum_qty": df["l_quantity"]})
+            .groupby("priority", sort=False).sum().reset_index()
+        )
+
+    # partials are <= n_priorities rows per pair block — the driver
+    # merges a tiny frame (blocks x 5 rows even at 100 TB), so no
+    # shuffle is spent on a 5-group aggregate
+    parts = pairs.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("priority", sort=True).agg(
+        n_pairs=("n_pairs", "sum"), sum_qty=("sum_qty", "sum")
+    ).reset_index()
+    g["n_pairs"] = g["n_pairs"].astype(np.int64)
+    return g
+
+
+SQL_LINEITEM_IN_WINDOW = f"""SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_pairs,
+       SUM(l.l_quantity) AS sum_qty
+FROM lineitem l JOIN orders o
+  ON l.l_shipdate BETWEEN o.o_orderdate
+                      AND o.o_orderdate + INTERVAL {RANGE_JOIN_WINDOW_DAYS} DAY
+GROUP BY 1 ORDER BY 1"""
+
+
 def q_events_distinct_users(sf_dir: str) -> Dataset:
     """Exact distinct-count per key (unique users per event type) with
     per-batch dedup BEFORE the shuffle: each batch emits its distinct
@@ -790,6 +866,61 @@ def q_bigram_topk(sf_dir: str) -> Dataset:
     return text_pipe.bigram_topk(_docs(sf_dir), k=50)
 
 
+def q_doc_boilerplate(sf_dir: str) -> Dataset:
+    """Per-doc duplicated-bigram boilerplate ratio (Gopher-style quality
+    rule) — map-only, no shuffle; read pruned to (doc_id, text)."""
+    import ray.data
+
+    from . import text as text_pipe
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_pipe.doc_boilerplate(docs)
+
+
+SQL_DOC_BOILERPLATE = """WITH flat AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS ord
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+  FROM flat
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c
+  FROM pairs WHERE bigram IS NOT NULL GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.n_dup, 0) AS n_dup_bigrams,
+       CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+            THEN CAST(a.n_dup AS DOUBLE) / a.n_bigrams
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def q_doc_top_terms(sf_dir: str) -> Dataset:
+    """Per-doc top-3 salient terms by rational (BM25-form) tf-idf:
+    per-batch tf kernel -> partial-agg df -> tf x df shuffle hash join
+    on the token hash -> grouped top-k per doc. Read pruned to the two
+    columns the op touches."""
+    import ray.data
+
+    from . import text as text_pipe
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_pipe.doc_top_terms(docs, k=3)
+
+
 def q_langid(sf_dir: str) -> Dataset:
     from . import text as text_pipe
 
@@ -954,6 +1085,103 @@ def _phash_image_table(sf_dir: str, n_base: int, n_dups: int) -> pa.Table:
         if j < n_dups:
             add(iid + "~j", px, "jpeg")
     return pa.table(rows, schema=IMAGE_SCHEMA)
+
+
+def _event_ids(sf_dir: str, n_base: int) -> list[int]:
+    """Every (n_events // n_base)-th event id — the shared keying scheme
+    of the derived media fixtures (_phash_image_table uses the same), so
+    the committed goldens can be gated on the events-table fingerprint."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path)
+        else [path]
+    )
+    n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    step = max(1, n_events // n_base)
+    return [j * step for j in range(n_base) if j * step < n_events]
+
+
+def _audio_table(sf_dir: str, n_clips: int = 64) -> pa.Table:
+    """Deterministic RIFF/WAVE PCM16 clip table derived from the events
+    table: per clip, a seeded sine + uniform noise at 8 kHz with
+    id-dependent frequency and length."""
+    import numpy as np
+
+    from ..sources.wav import encode_wav
+
+    ids, blobs = [], []
+    for eid in _event_ids(sf_dir, n_clips):
+        rng = np.random.default_rng(eid)
+        n = 400 + (eid % 800)
+        freq = 100.0 + (eid % 900)
+        t = np.arange(n, dtype=np.float64) / 8000.0
+        x = 6000.0 * np.sin(2 * np.pi * freq * t) + rng.uniform(-500, 500, n)
+        stereo = np.stack([x, -0.5 * x], axis=1)
+        ids.append(f"A{eid}")
+        blobs.append(encode_wav(np.round(stereo).astype(np.int16), 8000))
+    return pa.table(
+        {"clip_id": pa.array(ids, pa.string()),
+         "bytes": pa.array(blobs, pa.binary())}
+    )
+
+
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Distributed audio decode (real from-spec WAV codec) + clip-level
+    feature extraction via an actor pool. Deterministic, so the
+    committed VALUES golden is its exact oracle."""
+    import ray.data
+
+    from . import multimodal
+
+    t = _audio_table(sf_dir, 64)
+    parts = [t.slice(o, 16) for o in range(0, t.num_rows, 16)]
+    res = multimodal.extract_audio_features(
+        ray.data.from_arrow(parts), concurrency=2
+    )
+    out = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return out.sort_by("clip_id")
+
+
+def _mjpeg_table(sf_dir: str, n_clips: int = 32) -> pa.Table:
+    """Deterministic MJPEG clip table derived from the events table:
+    each clip is 3-6 concatenated JFIF frames of seeded pixel content
+    (the real JPEG encoder, so the demuxer walks real entropy data)."""
+    from ..sources.image_codec import deterministic_pixels, encode_jpeg
+
+    ids, blobs = [], []
+    for eid in _event_ids(sf_dir, n_clips):
+        n_frames = 3 + (eid % 4)
+        blob = b"".join(
+            encode_jpeg(deterministic_pixels(f"V{eid}f{j}", 16, 16))
+            for j in range(n_frames)
+        )
+        ids.append(f"V{eid}")
+        blobs.append(blob)
+    return pa.table(
+        {"clip_id": pa.array(ids, pa.string()),
+         "bytes": pa.array(blobs, pa.binary())}
+    )
+
+
+def q_video_frames(sf_dir: str) -> pa.Table:
+    """Distributed MJPEG demux + every-2nd-frame sampling + per-frame
+    stats via an actor pool. Deterministic -> VALUES golden oracle."""
+    import ray.data
+
+    from . import multimodal
+
+    t = _mjpeg_table(sf_dir, 32)
+    parts = [t.slice(o, 8) for o in range(0, t.num_rows, 8)]
+    res = multimodal.mjpeg_frame_stats(
+        ray.data.from_arrow(parts), every_k=2, concurrency=2
+    )
+    out = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return out.sort_by([("clip_id", "ascending"), ("frame_idx", "ascending")])
 
 
 def q_image_phash(sf_dir: str) -> pa.Table:
@@ -1217,6 +1445,29 @@ FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
       FROM documents)
 WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
+
+SQL_DOC_TOP_TERMS = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 3"""
 
 SQL_BIGRAM_TOPK = """WITH flat AS (
   SELECT doc_id,
@@ -1520,6 +1771,7 @@ SPATIAL_QUERIES = {
     "events_asof": q_events_asof,
     "orders_enriched": q_orders_enriched,
     "lineitem_enriched": q_lineitem_enriched,
+    "lineitem_in_window": q_lineitem_in_window,
     "events_rolling": q_events_rolling,
     "events_distinct_users": q_events_distinct_users,
 }
@@ -1528,6 +1780,7 @@ SPATIAL_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
     "lineitem_enriched": SQL_LINEITEM_ENRICHED,
+    "lineitem_in_window": SQL_LINEITEM_IN_WINDOW,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "colo_knn": SQL_KNN,
@@ -1553,6 +1806,8 @@ DATA_QUERIES = {
     "token_totals": q_token_totals,
     "token_topk": q_token_topk,
     "bigram_topk": q_bigram_topk,
+    "doc_top_terms": q_doc_top_terms,
+    "doc_boilerplate": q_doc_boilerplate,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -1568,6 +1823,8 @@ DATA_QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "image_phash": q_image_phash,
     "image_phash_neardup": q_image_phash_neardup,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "image_stats": q_image_stats,
     "doc_sample": q_doc_sample,
     "docs_topk_per_source": q_docs_topk_per_source,
@@ -1599,6 +1856,8 @@ DATA_SQL = {
     "token_totals": SQL_TOKEN_TOTALS,
     "token_topk": SQL_TOKEN_TOPK,
     "bigram_topk": SQL_BIGRAM_TOPK,
+    "doc_top_terms": SQL_DOC_TOP_TERMS,
+    "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_latest": SQL_DEDUP_EXACT_LATEST,
     "ann_topk": SQL_ANN_TOPK,
@@ -1630,11 +1889,12 @@ for _n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8"):
     if _g:
         DATA_SQL[_n] = _g
 
-# image_phash / image_phash_neardup: the hash of decoded pixels cannot
-# be restated in SQL, but the whole pipeline is deterministic -- the
-# committed VALUES goldens (gated on an events-table fingerprint) are
-# their exact oracles.
-for _n in ("image_phash", "image_phash_neardup", "image_stats", "image_resize"):
+# image_phash / image_phash_neardup / audio_features / video_frames:
+# decoded-media outputs cannot be restated in SQL, but the pipelines are
+# deterministic -- the committed VALUES goldens (gated on an
+# events-table fingerprint) are their exact oracles.
+for _n in ("image_phash", "image_phash_neardup", "image_stats",
+           "image_resize", "audio_features", "video_frames"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

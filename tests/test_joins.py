@@ -198,3 +198,80 @@ def test_hash_join_contracts(ray_session):
     # Ray's to_pandas drops columns on an all-empty dataset, so assert
     # on the Dataset schema
     assert out.schema().names == ["k", "rv", "extra"]
+
+
+def _brute_range(points: pd.DataFrame, iv: pd.DataFrame) -> pd.DataFrame:
+    out = points.merge(iv, how="cross")
+    out = out[(out["lo"] <= out["v"]) & (out["v"] <= out["hi"])]
+    return out[["pid", "v", "band"]]
+
+
+@pytest.mark.parametrize("seed,n_tiles", [(3, None), (11, 1), (11, 5), (29, 64)])
+def test_range_join_matches_brute_force(ray_session, seed, n_tiles):
+    """Tile-partitioned interval join == the O(n*m) cross-filter, at
+    auto tiling and forced tile counts (1 tile = one big probe; more
+    tiles than distinct values = heavy replication) — every matching
+    pair appears exactly once regardless of the tiling."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        range_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    points = pd.DataFrame({
+        "pid": np.arange(500, dtype=np.int64),
+        "v": np.round(rng.uniform(0, 1000, 500), 3),
+    })
+    lo = rng.uniform(-50, 1000, 120)  # some bands start below the domain
+    iv = pd.DataFrame({
+        "lo": lo,
+        "hi": lo + rng.uniform(0, 80, 120),
+        "band": np.arange(120, dtype=np.int64),
+    })
+    got = (
+        range_join(
+            ray.data.from_pandas(points).repartition(4),
+            ray.data.from_pandas(iv).repartition(3),
+            value_col="v", lo_col="lo", hi_col="hi",
+            interval_cols=["band"], n_tiles=n_tiles,
+        )
+        .to_pandas()[["pid", "v", "band"]]
+        .sort_values(["pid", "band"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_range(points, iv)
+        .sort_values(["pid", "band"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_inclusive_bounds_and_contracts(ray_session):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        range_join,
+    )
+
+    # lo == v and v == hi both match (SQL BETWEEN); outside-domain and
+    # inverted (lo > hi) intervals match nothing
+    points = ray.data.from_pandas(pd.DataFrame(
+        {"pid": np.array([0, 1, 2], np.int64), "v": [10.0, 20.0, 30.0]}))
+    iv = ray.data.from_pandas(pd.DataFrame({
+        "lo": [10.0, 25.0, 500.0, 30.0],
+        "hi": [20.0, 30.0, 600.0, 10.0],
+        "band": np.array([0, 1, 2, 3], np.int64),
+    }))
+    got = (
+        range_join(points, iv, "v", "lo", "hi", ["band"], n_tiles=2)
+        .to_pandas()
+        .sort_values(["pid", "band"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["pid"], got["band"])) == [
+        (0, 0), (1, 0), (2, 1)
+    ]
+
+    # interval column colliding with a point column raises up front
+    with pytest.raises(Exception, match="collision"):
+        range_join(points, iv.map_batches(
+            lambda df: df.rename(columns={"band": "v"}),
+            batch_format="pandas"), "v", "lo", "hi", ["v"])

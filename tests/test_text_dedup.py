@@ -363,3 +363,82 @@ def test_ngram_jaccard_hot_source_deskewed(ray_session):
                     want.add((a.doc_id, b.doc_id, round(j, 6)))
     assert got_set == want
     assert (0, 500, 1.0) in want and (600, 601, 1.0) in want
+
+
+def _pandas_top_terms(docs: pd.DataFrame, k: int = 3) -> pd.DataFrame:
+    n = len(docs)
+    toks = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "token": docs["text"].str.split()})
+        .explode("token").dropna(subset=["token"])
+    )
+    tf = toks.groupby(["doc_id", "token"], sort=False).size().rename("tf").reset_index()
+    df = tf.groupby("token", sort=False).size().rename("df").reset_index()
+    s = tf.merge(df, on="token")
+    s["score"] = s["tf"].to_numpy(np.int64) * (
+        (np.float64(n) - s["df"].to_numpy(np.int64) + 0.5)
+        / (s["df"].to_numpy(np.int64) + 0.5)
+    )
+    s = s.sort_values(["score", "token"], ascending=[False, True], kind="stable")
+    return s.groupby("doc_id", sort=False).head(k)
+
+
+def test_doc_top_terms_matches_pandas(ray_session):
+    """tf-idf top terms == a hand-rolled pandas oracle, including planted
+    score ties (same tf/df -> identical score, token-asc tie-break) and
+    a repeated-token doc (tf > 1)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.text import (
+        doc_top_terms,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{i:02d}" for i in range(40)])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 30))) for _ in range(60)
+    ]
+    texts[0] = "zebra zebra zebra alpha beta"   # tf>1 rare token dominates
+    texts[1] = "aaa bbb"                        # tie: both unique, same df -> token asc
+    texts[2] = ""                               # empty doc -> no rows
+    texts[3] = "   "                            # whitespace-only -> no rows
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+
+    got = (
+        doc_top_terms(ray.data.from_pandas(docs).repartition(5), k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "token"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_top_terms(docs, k=3)[["doc_id", "token", "tf", "df", "score"]]
+        .sort_values(["doc_id", "token"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not (got["doc_id"] == 2).any() and not (got["doc_id"] == 3).any()
+    # the planted rare repeated token wins doc 0
+    assert got[got["doc_id"] == 0].iloc[0]["token"] in ("alpha", "beta", "zebra")
+    z = got[(got["doc_id"] == 0) & (got["token"] == "zebra")]
+    assert len(z) == 1 and int(z["tf"].iloc[0]) == 3
+
+
+def test_doc_boilerplate_by_hand(ray_session):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.text import (
+        doc_boilerplate,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "a b a b a b",      # bigrams: ab,ba,ab,ba,ab -> 5 total, all dup
+            "x y z",            # 2 distinct bigrams -> no dup
+            "",                 # no tokens
+            "solo",             # one token -> 0 bigrams
+            "p q r p q",        # pq,qr,rp,pq -> 4 total, 2 dup (pq x2)
+        ],
+    })
+    got = (
+        doc_boilerplate(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_bigrams"].tolist() == [5, 2, 0, 0, 4]
+    assert got["n_dup_bigrams"].tolist() == [5, 0, 0, 0, 2]
+    assert got["dup_frac"].tolist() == [1.0, 0.0, 0.0, 0.0, 0.5]

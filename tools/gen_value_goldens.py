@@ -138,6 +138,8 @@ def main() -> None:
         ("image_stats", q.q_image_stats,
          {"mean_r", "mean_g", "mean_b", "std_gray"}),
         ("image_resize", q.q_image_resize, set()),
+        ("audio_features", q.q_audio_features, {"duration_s", "rms"}),
+        ("video_frames", q.q_video_frames, {"mean_gray"}),
     ):
         t = fn(SF_DIR)
         sql = to_values_sql_guarded(t, float_cols=fcols, guard_expr=guard,
