@@ -511,81 +511,47 @@ class ShardMiner:
         counts: dict[int, int] = {}
         root_dist: dict[int, int] = {}
         cand_index = {c: j for j, c in enumerate(candidates)}
-        # per-(candidate, slot) np.unique shrinks the payload to distinct
-        # ids BEFORE packing/shipping; reducer assignment is a RANGE
+        # per-(candidate, slot) np.unique: the slices are small and
+        # cache-resident, so ~10^4 tiny sorts beat one global sort over
+        # the concatenated packed array (microbenchmarked 3.0 s vs
+        # 5.7-8.2 s per actor at 16M rows) AND they shrink the shipped
+        # payload before the plasma puts. Reducer assignment is a RANGE
         # partition of the dense id space (codes are positional ->
-        # uniform). Rounds 2-4 then sliced each segment into n_reducers
-        # pieces inside a Python loop -- at the peak level that was
-        # ~n_cands * k * n_reducers ~ 7*10^5 loop iterations and measured
-        # 6.9 s/actor against ~0.5 s of actual sorting. Now ONE
-        # vectorized pass over the packed payload groups it by reducer:
-        # searchsorted for the reducer id + stable argsort (reducer ids
-        # are already sorted within each segment, so the stable gather is
-        # one sequential pass), ~4 post-unique-payload temporaries --
-        # bounded, unlike the raw-row hash partition round 2 abandoned.
+        # uniform): each sorted unique-id chunk is cut by ONE
+        # searchsorted -- no hash array, no concatenated packed array,
+        # no boolean-mask gathers. The hash version allocated ~6 full-
+        # payload temporaries per level; on fault-expensive hosts that
+        # measured 20 s/actor of first-touch kernel time at the peak
+        # level (50-100us per 4 KiB page, see memtune.py).
         candidates = list(candidates)
         n_codes = max(int(sum(self.ctx.counts.values())), 1)
         bounds_ids = (
             np.arange(1, n_reducers, dtype=np.int64) * n_codes
         ) // n_reducers
-        tabs = list(new_tables.items())
-        keys_j = np.fromiter(
-            (cand_index[c] for c, _ in tabs), np.int64, len(tabs)
-        )
-        sizes = np.fromiter((t.shape[0] for _, t in tabs), np.int64, len(tabs))
-        for jj, (cand, rows) in zip(keys_j, tabs):
-            counts[int(jj)] = int(rows.shape[0])
+        per_red: list[list[np.ndarray]] = [[] for _ in range(n_reducers)]
+        for cand, rows in new_tables.items():
+            j = cand_index[cand]
+            counts[j] = int(rows.shape[0])
+            # slot 0 is the ROOT instance: roots are disjoint across shards
+            # by construction, so the local distinct count sums exactly --
+            # no ids shipped for the root slot
+            root_dist[j] = int(np.unique(rows[:, 0]).size)
+            for i in range(1, rows.shape[1]):
+                ids = np.unique(rows[:, i]).astype(np.int64)  # sorted
+                packed = (np.int64(j * MAX_K + i) << np.int64(32)) | ids
+                cuts = np.searchsorted(ids, bounds_ids)
+                prev = 0
+                for r in range(n_reducers):
+                    nxt = int(cuts[r]) if r < n_reducers - 1 else len(ids)
+                    if nxt > prev:
+                        per_red[r].append(packed[prev:nxt])
+                    prev = nxt
         self.tables = new_tables
-        if tabs:
-            width = tabs[0][1].shape[1]  # all level-k tables have k slots
-            # slot 0 is the ROOT instance: roots are disjoint across
-            # shards by construction, so the local distinct count sums
-            # exactly -- no ids shipped for the root slot. One batched
-            # unique over (j << 32 | root) replaces the per-candidate
-            # np.unique loop (thousands of Python calls per level).
-            packed0 = np.unique(np.concatenate(
-                [(np.int64(j) << np.int64(32))
-                 | t[:, 0].astype(np.int64) for j, (_, t) in zip(keys_j, tabs)]
-            ))
-            k0 = (packed0 >> np.int64(32)).astype(np.int64)
-            uj, un = np.unique(k0, return_counts=True)
-            for j, n in zip(uj.tolist(), un.tolist()):
-                root_dist[j] = n
-            # non-root slots: ONE packed array over every (candidate,
-            # slot), ONE np.unique (key-major sort: dedupes per-(cand,
-            # slot) AND leaves ids sorted within each segment). Rounds
-            # 2-4 ran ~n_cands * k tiny np.unique calls plus an
-            # n_cands * k * n_reducers Python slicing loop -- at the
-            # peak level that was ~7 s/actor of call overhead against
-            # ~0.5 s of actual sorting.
-            slot_parts = []
-            for i in range(1, width):
-                key = (keys_j * MAX_K + i) << np.int64(32)
-                slot_parts.append(
-                    np.repeat(key, sizes)
-                    | np.concatenate([t[:, i] for _, t in tabs]).astype(np.int64)
-                )
-            packed = np.unique(
-                np.concatenate(slot_parts) if len(slot_parts) > 1
-                else slot_parts[0]
-            ) if slot_parts else np.empty(0, np.int64)
-            del slot_parts
-            # range-partition by id: reducer id per element, then one
-            # stable gather groups the payload by reducer (ids are
-            # sorted within each (cand, slot) segment, so rid is too)
-            rid = np.searchsorted(
-                bounds_ids, packed & np.int64(0xFFFFFFFF), side="right"
-            )
-            packed = packed[np.argsort(rid, kind="stable")]
-            cnts = np.bincount(rid, minlength=n_reducers)
-            offs = np.concatenate(([0], np.cumsum(cnts)))
-        else:
-            packed = np.empty(0, np.int64)
-            offs = np.zeros(n_reducers + 1, np.int64)
         _t2 = _time.perf_counter()
+        empty = np.empty(0, np.int64)
         refs = [
-            ray.put(np.ascontiguousarray(packed[offs[r]: offs[r + 1]]))
-            for r in range(n_reducers)
+            ray.put(np.concatenate(chunks) if chunks else empty)
+            for chunks in per_red
         ]
         timings = {
             "expand_s": round(_t1 - _t0, 3),
