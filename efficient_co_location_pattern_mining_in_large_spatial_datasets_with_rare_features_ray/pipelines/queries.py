@@ -906,6 +906,56 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+DECON_N = 5            # word n-gram span length
+DECON_BENCH_MOD = 97   # doc_id % MOD == 0 -> benchmark member
+
+
+def q_doc_decontaminate(sf_dir: str) -> Dataset:
+    """Test-set decontamination: docs sharing any 5-gram with the
+    deterministic benchmark subset (doc_id % 97 == 0, standing in for a
+    held-out eval set) are flagged. Benchmark gram set broadcasts once;
+    the corpus side is map-only."""
+    import numpy as np
+    import ray.data
+
+    from . import text as text_pipe
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return text_pipe.decontaminate(docs, bench, n=DECON_N)
+
+
+SQL_DOC_DECONTAMINATE = f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS ord
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), gd AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL
+), bench AS (
+  SELECT DISTINCT gram FROM gd WHERE doc_id % {DECON_BENCH_MOD} = 0
+), hits AS (
+  SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM gd JOIN bench USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+
 def q_doc_top_terms(sf_dir: str) -> Dataset:
     """Per-doc top-3 salient terms by rational (BM25-form) tf-idf:
     per-batch tf kernel -> partial-agg df -> tf x df shuffle hash join
@@ -998,6 +1048,18 @@ def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
     from . import similarity
 
     return similarity.ivf_topk(_embeddings(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_embed_clusters(sf_dir: str) -> pa.Table:
+    """Embedding k-means cluster assignment (semantic-dedup / topic-
+    mixing building block): bounded driver-sample training, broadcast
+    centroids, map-only assignment of every vector. Deterministic under
+    the fixed seed -> committed VALUES golden oracle."""
+    from . import similarity
+
+    res = similarity.embed_clusters(_embeddings(sf_dir), n_clusters=8)
+    out = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return out.sort_by("vec_id")
 
 
 def q_embed_neardup(sf_dir: str) -> pa.Table:
@@ -1808,6 +1870,7 @@ DATA_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "doc_top_terms": q_doc_top_terms,
     "doc_boilerplate": q_doc_boilerplate,
+    "doc_decontaminate": q_doc_decontaminate,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -1820,6 +1883,7 @@ DATA_QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embed_neardup": q_embed_neardup,
+    "embed_clusters": q_embed_clusters,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "image_phash": q_image_phash,
     "image_phash_neardup": q_image_phash_neardup,
@@ -1858,6 +1922,7 @@ DATA_SQL = {
     "bigram_topk": SQL_BIGRAM_TOPK,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
+    "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_latest": SQL_DEDUP_EXACT_LATEST,
     "ann_topk": SQL_ANN_TOPK,
@@ -1884,7 +1949,7 @@ DATA_SQL = {
 # fixed seeds -- committed VALUES goldens (tools/gen_value_goldens.py)
 # give the driver an exact comparison target; recall is separately
 # tested against the exact baseline (tests/test_similarity.py).
-for _n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8"):
+for _n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8", "embed_clusters"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

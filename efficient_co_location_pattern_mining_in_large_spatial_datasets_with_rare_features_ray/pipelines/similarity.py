@@ -481,6 +481,79 @@ def _probe_partitioned(
     )
 
 
+def _train_spherical_kmeans(
+    embeddings: Dataset, n_lists: int, seed: int, kmeans_iters: int,
+    train_sample: int,
+) -> np.ndarray:
+    """Spherical k-means on a bounded driver-side sample — the shared
+    coarse quantizer of ivf_topk and embed_clusters. limit() pushes the
+    bound into the read so only the first blocks materialize. The sample
+    is sorted by vec_id before training: Ray's streaming executor does
+    NOT guarantee row order, so an order-sensitive init (rng.choice into
+    the stacked matrix) would make the centroids — and the committed
+    VALUES goldens — depend on block arrival order (observed run-to-run
+    within one session). With the sort, training is bit-deterministic
+    whenever the dataset fits the sample bound (the golden regime); on
+    bigger data only the sample MEMBERSHIP can vary, never the
+    treatment of a given sample."""
+    sample = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .limit(train_sample)
+        .to_pandas()
+        .sort_values("vec_id")["embedding"]
+    )
+    # float64 like the previous take() row path (float32 k-means drifts
+    # the centroids and would invalidate the committed VALUES goldens)
+    m = _normalize(np.stack([np.asarray(v) for v in sample]).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def embed_clusters(
+    embeddings: Dataset,
+    n_clusters: int = 8,
+    seed: int = 7,
+    kmeans_iters: int = 8,
+    train_sample: int = 2048,
+) -> Dataset:
+    """Embedding-space clustering (the semantic-dedup / topic-mixing
+    building block): train a spherical k-means quantizer on a bounded
+    driver sample, broadcast the tiny centroid matrix once (ray.put),
+    and assign EVERY vector map-only — (vec_id, cluster, sim) where sim
+    is the cosine to the assigned centroid. No shuffle anywhere; the
+    full dataset streams through one vectorized matmul per batch.
+    Deterministic under the fixed seed -> committed VALUES golden."""
+    centroids = _train_spherical_kmeans(
+        embeddings, n_clusters, seed, kmeans_iters, train_sample
+    )
+    cref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        cents = ray.get(cref)
+        ids, m = _batch_matrix(df)
+        mn = _normalize(m)
+        sims = mn @ cents.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(best.astype(np.int32)),
+            "sim": pa.array(
+                np.round(sims[np.arange(len(best)), best], 6), pa.float64()),
+        })
+
+    return embeddings.map_batches(assign, batch_format="pandas")
+
+
 def ivf_topk(
     embeddings: Dataset,
     query_ids: list[int],
@@ -500,27 +573,9 @@ def ivf_topk(
     counts). The other standard scale path next to LSH bucketing;
     recall-tested against the brute-force baseline. Output schema
     matches ann_topk."""
-    # limit() pushes the bound into the read so only the first blocks
-    # are materialized; one Arrow batch instead of take()'s row dicts
-    sample = (
-        embeddings.select_columns(["embedding"])
-        .limit(train_sample)
-        .to_pandas()["embedding"]
+    centroids = _train_spherical_kmeans(
+        embeddings, n_lists, seed, kmeans_iters, train_sample
     )
-    # float64 like the previous take() row path (float32 k-means drifts
-    # the centroids and would invalidate the committed VALUES goldens)
-    m = _normalize(np.stack([np.asarray(v) for v in sample]).astype(np.float64))
-    rng = np.random.default_rng(seed)
-    centroids = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means on the sample
-        assign = np.argmax(m @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            sel = m[assign == c]
-            if len(sel):
-                v = sel.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    centroids[c] = v / n
     cref = ray.put(centroids)
 
     def add_list(df: pd.DataFrame) -> pa.Table:

@@ -293,3 +293,67 @@ def doc_boilerplate(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def _word_ngrams(df: pd.DataFrame, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, gram) arrays of whitespace word n-grams per doc —
+    flat-token construction with doc-boundary masking (the bigram_topk
+    pattern generalized to n), no per-doc Python loop."""
+    toks = df["text"].str.split()
+    lens = toks.str.len().fillna(0).to_numpy(np.int64)
+    keep = lens >= n
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, object)
+    flat = np.concatenate(toks.to_numpy()[keep]).astype(object)
+    kl = lens[keep]
+    offs = np.concatenate([[0], np.cumsum(kl)[:-1]])
+    cnts = kl - (n - 1)
+    from ..mining_core import _range_gather
+
+    starts = _range_gather(offs, cnts)  # gram start index into flat
+    grams = flat[starts]
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[starts + j]
+    doc_of = np.repeat(np.flatnonzero(keep), cnts)
+    return doc_of, grams
+
+
+def decontaminate(docs: Dataset, benchmark: Dataset, n: int = 5) -> Dataset:
+    """Test-set decontamination — the guard every LLM training corpus
+    needs: flag documents sharing any word ``n``-gram with a benchmark
+    set. Output one row per doc: (doc_id, n_overlap, contaminated)
+    where n_overlap counts the doc's DISTINCT n-grams that appear in
+    the benchmark and contaminated = (n_overlap > 0) as int64.
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets
+    are MBs against a 100-TB corpus) — its distinct gram set is
+    collected once, shipped once via ray.put, and every corpus batch
+    probes it with one vectorized ``isin`` (exact string matching — no
+    hash false positives). The corpus side is map-only: no shuffle, no
+    driver materialization of anything corpus-sized."""
+    import ray as _ray
+
+    bparts = benchmark.map_batches(
+        lambda df: pd.DataFrame({"gram": pd.unique(_word_ngrams(df, n)[1])}),
+        batch_format="pandas",
+    ).to_pandas()
+    bref = _ray.put(frozenset(bparts["gram"]))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bench = _ray.get(bref)
+        doc_of, grams = _word_ngrams(df, n)
+        n_overlap = np.zeros(len(df), np.int64)
+        if len(grams):
+            fr = pd.DataFrame({"row": doc_of, "gram": grams}).drop_duplicates()
+            hit = fr["gram"].isin(bench).to_numpy()
+            n_overlap = np.bincount(
+                fr["row"].to_numpy()[hit], minlength=len(df)
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64),
+             "n_overlap": n_overlap,
+             "contaminated": (n_overlap > 0).astype(np.int64)}
+        )
+
+    return docs.map_batches(probe, batch_format="pandas")

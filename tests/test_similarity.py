@@ -153,3 +153,50 @@ def test_partitioned_probe_reads_fraction(emb_ds, emb_df):
     assert st2["total_rows"] == len(emb_df)
     # n_probe=2 of 16 lists -> a small fraction of rows scanned
     assert 0 < st2["probed_rows"] < st2["total_rows"] / 2
+
+
+def test_embed_clusters_groups_planted_directions(ray_session):
+    """k-means assignment: vectors planted around 3 well-separated
+    directions land in 3 consistent clusters with high sim; every input
+    vector gets exactly one row."""
+    import pandas as pd
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.similarity import (
+        embed_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    dirs = np.eye(8)[:3] * 10.0
+    vecs, truth = [], []
+    for i in range(120):
+        g = i % 3
+        vecs.append((dirs[g] + rng.normal(0, 0.3, 8)).astype(np.float32))
+        truth.append(g)
+    df = pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    out = (
+        embed_clusters(
+            ray.data.from_pandas(df).repartition(3), n_clusters=3,
+            train_sample=120,
+        )
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(out) == 120
+    assert out["cluster"].nunique() == 3
+    assert (out["sim"] > 0.9).all()
+    # same planted direction -> same cluster label (label permutation ok)
+    lab = out["cluster"].to_numpy()
+    for g in range(3):
+        sel = lab[np.array(truth) == g]
+        assert (sel == sel[0]).all()
+    # determinism: a second run reproduces the assignment bit-exactly
+    out2 = (
+        embed_clusters(
+            ray.data.from_pandas(df).repartition(3), n_clusters=3,
+            train_sample=120,
+        )
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

@@ -442,3 +442,33 @@ def test_doc_boilerplate_by_hand(ray_session):
     assert got["n_bigrams"].tolist() == [5, 2, 0, 0, 4]
     assert got["n_dup_bigrams"].tolist() == [5, 0, 0, 0, 2]
     assert got["dup_frac"].tolist() == [1.0, 0.0, 0.0, 0.0, 0.5]
+
+
+def test_decontaminate_flags_shared_spans(ray_session):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.text import (
+        decontaminate,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "completely different words here entirely now",
+            "the quick brown fox jumps",
+            "short doc",  # < 5 tokens -> zero grams, never contaminated
+        ],
+    })
+    bench = pd.DataFrame({
+        "doc_id": np.array([100], np.int64),
+        "text": ["xx the quick brown fox jumps yy"],
+    })
+    out = (
+        decontaminate(
+            ray.data.from_pandas(docs).repartition(2),
+            ray.data.from_pandas(bench), n=5,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [1, 0, 1, 0]
+    assert out.loc[0, "n_overlap"] == 1  # only the shared 5-gram
+    assert out.loc[2, "n_overlap"] == 1

@@ -124,6 +124,7 @@ def main() -> None:
         ("ann_topk_lsh", q.q_ann_topk_lsh),
         ("ann_topk_ivf", q.q_ann_topk_ivf),
         ("ann_topk_int8", q.q_ann_topk_int8),
+        ("embed_clusters", q.q_embed_clusters),
     ):
         t = fn(SF_DIR)
         sql = to_values_sql(t, float_cols={"sim"}, fp=fp)
