@@ -275,3 +275,37 @@ def test_range_join_inclusive_bounds_and_contracts(ray_session):
         range_join(points, iv.map_batches(
             lambda df: df.rename(columns={"band": "v"}),
             batch_format="pandas"), "v", "lo", "hi", ["v"])
+
+
+def test_range_join_explicit_bounds(ray_session):
+    """bounds=(pmin, pmax) skips the min/max metadata pass; results are
+    identical, and points outside the supplied bounds still match
+    correctly (clamped into the edge tiles)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        range_join,
+    )
+
+    points = pd.DataFrame({
+        "pid": np.arange(6, dtype=np.int64),
+        # -5 and 105 fall OUTSIDE the supplied bounds
+        "v": [-5.0, 10.0, 40.0, 60.0, 90.0, 105.0],
+    })
+    iv = pd.DataFrame({
+        "lo": [-10.0, 35.0, 100.0],
+        "hi": [12.0, 65.0, 110.0],
+        "band": np.array([0, 1, 2], np.int64),
+    })
+    got = (
+        range_join(
+            ray.data.from_pandas(points), ray.data.from_pandas(iv),
+            "v", "lo", "hi", ["band"], n_tiles=4, bounds=(0.0, 100.0),
+        )
+        .to_pandas().sort_values(["pid", "band"]).reset_index(drop=True)
+    )
+    want = (
+        _brute_range(points.rename(columns={}), iv)
+        .sort_values(["pid", "band"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["pid", "v", "band"]], want, check_dtype=False
+    )
