@@ -151,10 +151,21 @@ def hash_join(
     right_columns: list[str],
     right_key: str | None = None,
     n_buckets: int = 64,
+    how: str = "inner",
 ) -> Dataset:
-    """Inner equi-join of two LARGE Datasets — the shuffle counterpart
-    of ``broadcast_join`` for when neither side is dimension-sized
+    """Equi-join of two LARGE Datasets — the shuffle counterpart of
+    ``broadcast_join`` for when neither side is dimension-sized
     (fact x fact: lineitem x orders, events x labels).
+
+    ``how`` selects the variant, all sharing the one exchange plan:
+
+    * ``"inner"`` (default): matched pairs, many-to-many expansion.
+    * ``"left"``: every left row survives; unmatched rows carry NULL
+      right columns (SQL LEFT OUTER JOIN).
+    * ``"semi"``: left rows with >= 1 match, LEFT COLUMNS ONLY, no
+      expansion (SQL WHERE EXISTS) — ``right_columns`` may be empty.
+    * ``"anti"``: left rows with 0 matches, left columns only
+      (SQL WHERE NOT EXISTS).
 
     Both sides are hash-bucketed on the key (ONE static split exchange
     each — ``stages/exchange.static_cogroup_exchange`` — not Ray's
@@ -162,7 +173,8 @@ def hash_join(
     small key spaces) and every bucket task probes its left rows against
     its right rows with one sort + two searchsorteds + a range gather:
     fully vectorized many-to-many expansion, no per-row Python, no
-    driver materialization of either side.
+    driver materialization of either side. Semi/anti move NO right
+    payload columns through the exchange — only the key column ships.
 
     Partitioning assumption (custom-operator contract): one BUCKET (not
     one key) must fit in a task — with the default 64 buckets that is
@@ -178,6 +190,10 @@ def hash_join(
     from ..stages.exchange import static_cogroup_exchange
     from ..stages.stars import _stable_bucket
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"hash_join how={how!r}")
+    if how in ("semi", "anti"):
+        right_columns = []  # membership only: don't ship right payload
     rk = right_key or key
     right = right.select_columns([rk] + list(right_columns))
 
@@ -206,6 +222,24 @@ def hash_join(
         rs = rkv[order]
         lo = np.searchsorted(rs, lk, "left")
         cnt = np.searchsorted(rs, lk, "right") - lo
+        if how == "semi":
+            return tl.filter(pa.array(cnt > 0))
+        if how == "anti":
+            return tl.filter(pa.array(cnt == 0))
+        if how == "left":
+            # unmatched left rows survive once, with a NULL gather index
+            # (Arrow take() maps null indices to null output values)
+            cnt_out = np.maximum(cnt, 1)
+            rep = np.repeat(np.arange(len(lk), dtype=np.int64), cnt_out)
+            gather = order[_range_gather(lo, np.where(cnt > 0, cnt, 0))]
+            matched = np.repeat(cnt > 0, cnt_out)
+            full = np.zeros(len(rep), np.int64)
+            full[matched] = gather
+            idx = pa.array(full, pa.int64(), mask=~matched)
+            out = tl.take(pa.array(rep))
+            for c in right_columns:
+                out = out.append_column(c, tr[c].combine_chunks().take(idx))
+            return out
         rep = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
         gather = order[_range_gather(lo, cnt)]
         out = tl.take(pa.array(rep))

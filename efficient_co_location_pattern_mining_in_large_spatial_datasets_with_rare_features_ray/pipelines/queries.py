@@ -590,6 +590,280 @@ SQL_LINEITEM_ENRICHED = """SELECT l_orderkey, l_linenumber, l_extendedprice,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
 
 
+ACTIVE_SINCE = "2001-01-01"  # recency cutoff for the semi/anti/left demos
+
+
+def _recent_orders(sf_dir: str, columns: list[str]) -> "Dataset":
+    """Orders placed on/after ACTIVE_SINCE, filtered arrow-native at the
+    read edge (predicate runs per batch; only ``columns`` leave
+    storage)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    cutoff = np.datetime64(ACTIVE_SINCE, "us")
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff)))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"] + columns
+    ).map_batches(filt, batch_format="pyarrow")
+
+
+def q_customer_active(sf_dir: str) -> Dataset:
+    """Distributed SEMI join (hash_join how='semi'): customers with at
+    least one order since ACTIVE_SINCE — the WHERE EXISTS shape. Both
+    sides shuffle-bucketed; only the right KEY column moves through the
+    exchange (no payload), and the probe is two searchsorteds + a
+    boolean filter, no expansion."""
+    import ray.data
+
+    from .joins import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    return hash_join(
+        cust, _recent_orders(sf_dir, ["o_custkey"]),
+        key="c_custkey", right_columns=[], right_key="o_custkey",
+        how="semi",
+    )
+
+
+SQL_CUSTOMER_ACTIVE = f"""SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '{ACTIVE_SINCE}')"""
+
+
+def q_customer_inactive(sf_dir: str) -> Dataset:
+    """Distributed ANTI join (hash_join how='anti'): customers with NO
+    order since ACTIVE_SINCE — the WHERE NOT EXISTS shape (churn lists,
+    orphan-key audits). Same exchange plan as the semi join; the probe
+    keeps the zero-match rows instead."""
+    import ray.data
+
+    from .joins import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    return hash_join(
+        cust, _recent_orders(sf_dir, ["o_custkey"]),
+        key="c_custkey", right_columns=[], right_key="o_custkey",
+        how="anti",
+    )
+
+
+SQL_CUSTOMER_INACTIVE = f"""SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{ACTIVE_SINCE}')"""
+
+
+def q_customer_orders_left(sf_dir: str) -> Dataset:
+    """Distributed LEFT OUTER join (hash_join how='left'): every
+    customer row survives; customers without a recent order carry a
+    NULL o_totalprice (Arrow take() with null gather indices — no
+    sentinel values, real SQL null semantics). Matched customers expand
+    many-to-many as in the inner join."""
+    import ray.data
+
+    from .joins import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return hash_join(
+        cust, _recent_orders(sf_dir, ["o_custkey", "o_totalprice"]),
+        key="c_custkey", right_columns=["o_totalprice"],
+        right_key="o_custkey", how="left",
+    )
+
+
+SQL_CUSTOMER_ORDERS_LEFT = f"""SELECT c_custkey, c_name, o_totalprice
+FROM customer c LEFT JOIN (
+    SELECT o_custkey, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{ACTIVE_SINCE}'
+) o ON c.c_custkey = o.o_custkey"""
+
+
+Q3_CUTOFF = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def q_top_building_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q3-shaped composite: dimension filter -> broadcast join ->
+    fact x fact shuffle join -> distributed keyed aggregate -> global
+    top-k, each stage the scale-right choice:
+
+    * customer (dimension) filters to one segment and BROADCASTS into
+      orders (no shuffle of the fact side);
+    * orders x lineitem is the bucketed shuffle hash_join (both large);
+    * revenue is summed in integer 1e-4-dollar units (floor(x*100+0.5)
+      cents x (100 - discount pct)) so the sum is order-independent and
+      the oracle hash is exact — no float-accumulation drift;
+    * per-batch partials fold duplicate orderkeys before the ONE wide
+      groupby, and every block prunes to its local top-k before the
+      driver sees anything (driver merges <= blocks x k tiny rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .joins import broadcast_join, hash_join
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT)),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    orders_b = broadcast_join(
+        orders, cust, key="o_custkey",
+        right_columns=["c_mktsegment"], right_key="c_custkey",
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["l_shipdate"], pa.scalar(cutoff))
+        ).drop_columns(["l_shipdate"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li, orders_b, key="l_orderkey",
+        right_columns=["o_orderdate", "o_orderpriority"],
+        right_key="o_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        disc_c = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({
+                "l_orderkey": df["l_orderkey"],
+                "o_orderdate": df["o_orderdate"],
+                "o_orderpriority": df["o_orderpriority"],
+                "revenue_e4": price_c * (100 - disc_c),
+            })
+            .groupby(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )["revenue_e4"].sum().reset_index()
+        )
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )["revenue_e4"].sum().reset_index()
+        )
+        # local top-k prune: the global top-k is a subset of the union
+        # of per-group top-k's (orderkeys don't split across groups)
+        return g.sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="stable",
+        ).head(Q3_TOPK)
+
+    pruned = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .map_groups(per_order, batch_format="pandas")
+        .map_batches(per_order, batch_format="pandas")
+    )
+    top = per_order(pruned.to_pandas())  # <= blocks x k rows reach the driver
+    return top[
+        ["l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"]
+    ].reset_index(drop=True)
+
+
+SQL_TOP_BUILDING_ORDERS = f"""SELECT l_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+LIMIT {Q3_TOPK}"""
+
+
+PRICE_HIST_WIDTH = 500.0
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram (pipelines/stats.histogram) over
+    l_extendedprice, weighted by the integral l_quantity — the
+    mergeable-partial binned aggregate (one np.add.at pass per batch,
+    <= n_bins rows move per block, no shuffle)."""
+    import ray.data
+
+    from .stats import histogram
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"],
+    )
+    return histogram(
+        li, "l_extendedprice", PRICE_HIST_WIDTH, weight_col="l_quantity"
+    )
+
+
+SQL_PRICE_HISTOGRAM = f"""SELECT
+    CAST(FLOOR(l_extendedprice / {PRICE_HIST_WIDTH}) AS BIGINT) AS bin,
+    COUNT(*) AS n,
+    SUM(l_quantity) AS wsum
+FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+
+def q_orders_price_rank(sf_dir: str) -> Dataset:
+    """Global ROW_NUMBER over a total order (pipelines/rank.global_rank):
+    every order gets its exact 1-based position by totalprice — the
+    distributed order-by (range partition -> tiny bucket-count pass ->
+    per-bucket local sort + global offsets). No task sees more than one
+    value-range bucket."""
+    import ray.data
+
+    from .rank import global_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_rank(
+        orders, "o_totalprice", "o_orderkey", rank_col="price_rank"
+    )
+
+
+SQL_ORDERS_PRICE_RANK = """SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS price_rank
+FROM orders"""
+
+
 RANGE_JOIN_WINDOW_DAYS = 7
 
 
@@ -1836,6 +2110,12 @@ SPATIAL_QUERIES = {
     "lineitem_in_window": q_lineitem_in_window,
     "events_rolling": q_events_rolling,
     "events_distinct_users": q_events_distinct_users,
+    "customer_active": q_customer_active,
+    "customer_inactive": q_customer_inactive,
+    "customer_orders_left": q_customer_orders_left,
+    "top_building_orders": q_top_building_orders,
+    "price_histogram": q_price_histogram,
+    "orders_price_rank": q_orders_price_rank,
 }
 
 SPATIAL_SQL = {
@@ -1851,6 +2131,12 @@ SPATIAL_SQL = {
     "colo_raster_boxes": SQL_RASTER_BOXES,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "orders_enriched": SQL_ORDERS_ENRICHED,
+    "customer_active": SQL_CUSTOMER_ACTIVE,
+    "customer_inactive": SQL_CUSTOMER_INACTIVE,
+    "customer_orders_left": SQL_CUSTOMER_ORDERS_LEFT,
+    "top_building_orders": SQL_TOP_BUILDING_ORDERS,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "orders_price_rank": SQL_ORDERS_PRICE_RANK,
 }
 
 def q_corpus_clean(sf_dir: str) -> Dataset:

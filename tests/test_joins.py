@@ -309,3 +309,79 @@ def test_range_join_explicit_bounds(ray_session):
     pd.testing.assert_frame_equal(
         got[["pid", "v", "band"]], want, check_dtype=False
     )
+
+
+def test_hash_join_modes_match_pandas(ray_session):
+    """semi/anti/left variants vs pandas on the same skewed fixture:
+    semi+anti partition the left exactly, left keeps unmatched rows
+    with real NULLs (not sentinels)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    rng = np.random.default_rng(20260819)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 60, 500).astype(np.int64),
+        "lv": np.arange(500, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(30, 90, 150).astype(np.int64),
+        "rv": np.round(rng.uniform(0, 5, 150), 3),
+    })
+    L = ray.data.from_pandas(left).repartition(4)
+    R = ray.data.from_pandas(right).repartition(3)
+    matched_keys = set(right["rk"])
+
+    semi = hash_join(L, R, key="k", right_columns=[], right_key="rk",
+                     how="semi", n_buckets=5).to_pandas()
+    want_semi = left[left["k"].isin(matched_keys)]
+    pd.testing.assert_frame_equal(
+        semi.sort_values("lv").reset_index(drop=True),
+        want_semi.sort_values("lv").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    anti = hash_join(L, R, key="k", right_columns=[], right_key="rk",
+                     how="anti", n_buckets=5).to_pandas()
+    want_anti = left[~left["k"].isin(matched_keys)]
+    pd.testing.assert_frame_equal(
+        anti.sort_values("lv").reset_index(drop=True),
+        want_anti.sort_values("lv").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # semi + anti partition the left exactly
+    assert len(semi) + len(anti) == len(left)
+
+    lj = hash_join(L, R, key="k", right_columns=["rv"], right_key="rk",
+                   how="left", n_buckets=5).to_pandas()
+    want_lj = left.merge(
+        right.rename(columns={"rk": "k"}), on="k", how="left"
+    )
+    srt = ["lv", "rv"]
+    pd.testing.assert_frame_equal(
+        lj.sort_values(srt).reset_index(drop=True),
+        want_lj.sort_values(srt).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # unmatched rows carry actual nulls
+    assert lj["rv"].isna().sum() == len(want_anti)
+
+    with pytest.raises(ValueError, match="how="):
+        hash_join(L, R, key="k", right_columns=[], how="outer")
+
+
+def test_hash_join_left_empty_right_side(ray_session):
+    """LEFT join against a right side whose buckets are all empty:
+    every left row survives with a typed NULL column."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2, 3], np.int64), "v": [1.0, 2.0, 3.0]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([99], np.int64), "rv": [7.5]}))
+    out = hash_join(left, right, key="k", right_columns=["rv"],
+                    how="left", n_buckets=4).to_pandas()
+    assert len(out) == 3
+    assert out["rv"].isna().all()

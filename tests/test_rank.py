@@ -4,6 +4,7 @@ under block structure (the partial prune must never change results)."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray.data
 
 from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines import (
     rank,
@@ -207,3 +208,64 @@ def test_events_distinct_users_exact(ray_session):
         .reset_index()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_global_rank_matches_pandas(ray_session):
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.rank import (
+        global_rank,
+    )
+
+    rng = np.random.default_rng(11)
+    # planted duplicate values across blocks to exercise the tie-break
+    vals = np.round(rng.uniform(-100, 100, 3000), 1)
+    df = pd.DataFrame({
+        "v": vals, "id": rng.permutation(3000).astype(np.int64)
+    })
+    got = (
+        global_rank(
+            ray.data.from_pandas(df).repartition(7), "v", "id",
+            rank_col="r", n_buckets=16,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = df.copy()
+    want["r"] = (
+        want.sort_values(["v", "id"]).reset_index().index.to_numpy()
+    )
+    want = want.sort_values(["v", "id"], kind="stable")
+    want["r"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    want = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["v", "id", "r"]], want[["v", "id", "r"]])
+
+    # descending: rank 1 = largest value
+    got_d = (
+        global_rank(
+            ray.data.from_pandas(df).repartition(7), "v", "id",
+            rank_col="r", n_buckets=16, descending=True,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want_d = df.sort_values(["v", "id"], ascending=[False, True],
+                            kind="stable").copy()
+    want_d["r"] = np.arange(1, len(want_d) + 1, dtype=np.int64)
+    want_d = want_d.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_d[["v", "id", "r"]], want_d[["v", "id", "r"]]
+    )
+
+
+def test_global_rank_constant_column(ray_session):
+    """All-equal order values: one bucket, pure tie-break ordering."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.rank import (
+        global_rank,
+    )
+
+    df = pd.DataFrame({
+        "v": np.zeros(50), "id": np.arange(49, -1, -1, dtype=np.int64)
+    })
+    got = (
+        global_rank(ray.data.from_pandas(df).repartition(3), "v", "id",
+                    rank_col="r", n_buckets=8)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert (got["r"].to_numpy() == got["id"].to_numpy() + 1).all()
