@@ -378,9 +378,12 @@ def range_join(
     which stays correct (only tile balance suffers)."""
     from ..stages.exchange import static_cogroup_exchange
 
-    for c in interval_cols:
-        if c in points.schema().names:
-            raise ValueError(f"column collision in range_join: {c!r}")
+    # NOTE: the interval-column collision check runs inside route_points
+    # (task side). A driver-side points.schema() would force Ray Data to
+    # execute the lazy pipeline with limit(1) just to learn the column
+    # names — an extra execution wave, and the limit-triggered task
+    # cancellation has been observed to trip a Ray core ref-count fatal
+    # (reference_count.cc) that kills the whole driver process.
 
     # metadata passes as per-batch PARTIALS + a driver merge of one tiny
     # row per block (no shuffle, no sort -- Dataset.aggregate's generic
@@ -426,6 +429,9 @@ def range_join(
         return np.clip(t, 0, n_tiles - 1)
 
     def route_points(t: pa.Table) -> pa.Table:
+        bad = [c for c in interval_cols if c in t.column_names]
+        if bad:
+            raise ValueError(f"column collision in range_join: {bad}")
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return t.append_column("__tile", pa.array(tile_of(v), pa.int64()))
 

@@ -270,11 +270,13 @@ def test_range_join_inclusive_bounds_and_contracts(ray_session):
         (0, 0), (1, 0), (2, 1)
     ]
 
-    # interval column colliding with a point column raises up front
+    # interval column colliding with a point column raises at execution
+    # (task-side check: a driver-side schema() probe would force a
+    # limit(1) execution wave — see range_join's NOTE)
     with pytest.raises(Exception, match="collision"):
         range_join(points, iv.map_batches(
             lambda df: df.rename(columns={"band": "v"}),
-            batch_format="pandas"), "v", "lo", "hi", ["v"])
+            batch_format="pandas"), "v", "lo", "hi", ["v"]).materialize()
 
 
 def test_range_join_explicit_bounds(ray_session):
