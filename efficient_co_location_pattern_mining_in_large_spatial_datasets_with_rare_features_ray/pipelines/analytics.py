@@ -1,0 +1,360 @@
+"""Warehouse-analytics operator family: full outer join, semi-structured
+(JSON) field extraction, set operations, ROLLUP aggregation, pivot
+(conditional aggregation), and embedding normalization.
+
+Each query is the scale-right composition of the engine's primitives:
+pre-aggregated partials before any shuffle, static bucket exchanges for
+the joins/set ops, integer-unit money sums (order-independent, exact
+oracle hashes), and Dataset results that stream (the only driver-side
+tables are aggregate-sized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+# ---------------------------------------------------------------- full outer
+
+
+def _daily_counts(sf_dir: str, table: str, date_col: str,
+                  day_col: str, n_col: str) -> Dataset:
+    """Per-day row counts: per-batch partial (day -> n) then a tiny
+    groupby merge — only (days x blocks) partial rows ever shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=[date_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df[date_col].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        d, n = np.unique(days, return_counts=True)
+        return pd.DataFrame({day_col: d, n_col: n.astype(np.int64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(day_col, sort=False)[n_col].sum().reset_index()
+        g[n_col] = g[n_col].astype(np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(day_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_daily_activity_full(sf_dir: str) -> Dataset:
+    """FULL OUTER JOIN demo on a real asymmetry: order-placement days vs
+    lineitem-ship days (shipping lags ordering, so each side has days
+    the other lacks). Both sides aggregate DOWN to per-day counts before
+    the join — the join moves day-grain rows, never facts — and the
+    bucketed exchange keeps unmatched rows of BOTH sides with NULLs on
+    the absent side (joins.hash_join how='full')."""
+    from .joins import hash_join
+
+    od = _daily_counts(sf_dir, "orders", "o_orderdate", "o_day", "n_orders")
+    ld = _daily_counts(sf_dir, "lineitem", "l_shipdate", "l_day", "n_ship")
+    return hash_join(
+        od, ld, key="o_day", right_key="l_day",
+        right_columns=["l_day", "n_ship"], how="full",
+    )
+
+
+SQL_DAILY_ACTIVITY_FULL = """WITH od AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_day,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), ld AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS l_day,
+         COUNT(*) AS n_ship
+  FROM lineitem GROUP BY 1
+)
+SELECT od.o_day, od.n_orders, ld.l_day, ld.n_ship
+FROM od FULL OUTER JOIN ld ON od.o_day = ld.l_day"""
+
+
+# ------------------------------------------------------- JSON extraction
+
+# the events table's props column is a JSON object payload; extraction
+# is a compiled vectorized regex over the raw strings (a full JSON parse
+# per row is Python-rate; for flat scalar fields the anchored regex is
+# byte-for-byte equivalent and runs at C speed)
+_PROPS_K_RE = r'"k":\s*(-?\d+)'
+
+
+def q_events_props(sf_dir: str) -> Dataset:
+    """Semi-structured field extraction + aggregate: pull the integer
+    field ``k`` out of the JSON ``props`` payload and aggregate it per
+    event type. sum_k is an exact int sum; avg_k is ONE float division
+    of two exact ints (bit-identical to the oracle's SUM/COUNT)."""
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(_PROPS_K_RE, expand=False)
+        kv = pd.to_numeric(k, errors="raise").to_numpy(np.int64)
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "n": 1, "sum_k": kv})
+            .groupby("event_type", sort=False).sum().reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_k"] = g["sum_k"].astype(np.int64)
+        g["avg_k"] = g["sum_k"].to_numpy(np.float64) / g["n"].to_numpy(
+            np.float64
+        )
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_PROPS = """SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS avg_k
+FROM events GROUP BY event_type"""
+
+
+# ------------------------------------------------------------- set ops
+
+
+def _priority_customers(sf_dir: str, priority: str) -> Dataset:
+    import pyarrow.compute as pc
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], priority))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_cust_urgent_and_low(sf_dir: str) -> Dataset:
+    """SQL INTERSECT: customers with BOTH an urgent and a low-priority
+    order. Distinct partials collapse each side inside the map stage;
+    only distinct ids reach the one bucketed exchange
+    (pipelines/setops.key_intersect)."""
+    from .setops import key_intersect
+
+    return key_intersect(
+        _priority_customers(sf_dir, "1-URGENT"),
+        _priority_customers(sf_dir, "5-LOW"),
+        key="o_custkey",
+    )
+
+
+SQL_CUST_URGENT_AND_LOW = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
+
+
+def q_cust_urgent_only(sf_dir: str) -> Dataset:
+    """SQL EXCEPT: customers with an urgent order and no low-priority
+    one (pipelines/setops.key_except, same exchange plan as
+    INTERSECT)."""
+    from .setops import key_except
+
+    return key_except(
+        _priority_customers(sf_dir, "1-URGENT"),
+        _priority_customers(sf_dir, "5-LOW"),
+        key="o_custkey",
+    )
+
+
+SQL_CUST_URGENT_ONLY = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
+
+
+# --------------------------------------------------------------- rollup
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): revenue and row
+    counts at three grains (flag+status, flag, grand total). ONE
+    distributed pass computes the finest grain with per-batch partials;
+    the coarser grains derive from the finest-grain result — an
+    aggregate-sized table (|flags| x |statuses| rows), so the rollup
+    derivation costs nothing at any scale. Revenue sums in integer
+    1e-4-dollar units (order-independent, exact oracle hash)."""
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        disc_c = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "revenue_e4": price_c * (100 - disc_c),
+                "n_rows": 1,
+            })
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum().reset_index()
+        )
+
+    finest = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(
+            lambda df: df.groupby(
+                ["l_returnflag", "l_linestatus"], sort=False
+            ).sum().reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()  # aggregate-sized: |flags| x |statuses| rows
+    )
+    per_flag = finest.groupby("l_returnflag", sort=False, as_index=False)[
+        ["revenue_e4", "n_rows"]
+    ].sum()
+    per_flag["l_linestatus"] = "ALL"
+    total = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "revenue_e4": [finest["revenue_e4"].sum()],
+        "n_rows": [finest["n_rows"].sum()],
+    })
+    out = pd.concat([finest, per_flag, total], ignore_index=True)
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out[["l_returnflag", "l_linestatus", "revenue_e4", "n_rows"]]
+
+
+SQL_REVENUE_ROLLUP = """SELECT
+  COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+       AS BIGINT) AS revenue_e4,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+
+# ---------------------------------------------------------------- pivot
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_user_event_pivot(sf_dir: str) -> Dataset:
+    """Pivot (conditional aggregation): one row per user with a count
+    column per event type. Per-batch partial pivots (vectorized boolean
+    sums) collapse each batch to at most |users-in-batch| rows before
+    the one keyed shuffle; counts are exact ints."""
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    cols = [f"n_{t}" for t in PIVOT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy(object)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64)})
+        for t, c in zip(PIVOT_TYPES, cols):
+            out[c] = (et == t).astype(np.int64)
+        return out.groupby("user_id", sort=False).sum().reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        for c in cols:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_USER_EVENT_PIVOT = "SELECT user_id, " + ", ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS n_{t}"
+    for t in PIVOT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+# ------------------------------------------------------ embedding norm
+
+
+def q_embed_l2norm(sf_dir: str) -> Dataset:
+    """Embedding L2 norms — the map-only normalization stage every
+    embedding pipeline runs before cosine ops. Zero-copy fixed-width
+    matrix view per batch, one vectorized einsum, no shuffle."""
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(t.num_rows, -1)
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "nrm": pa.array(np.round(nrm, 6), pa.float64()),
+        })
+
+    return emb.map_batches(fn, batch_format="pyarrow")
+
+
+# reuses the shared norms CTE shape from queries.py (kept inline here so
+# the module is self-contained)
+SQL_EMBED_L2NORM = """WITH pos AS (SELECT unnest(generate_series(1, 64)) AS p)
+SELECT e.vec_id,
+       round(sqrt(sum(pow(CAST(e.embedding[p.p] AS DOUBLE), 2))), 6) AS nrm
+FROM embeddings e, pos p GROUP BY e.vec_id"""
+
+
+ANALYTICS_QUERIES = {
+    "daily_activity_full": q_daily_activity_full,
+    "events_props": q_events_props,
+    "cust_urgent_and_low": q_cust_urgent_and_low,
+    "cust_urgent_only": q_cust_urgent_only,
+    "revenue_rollup": q_revenue_rollup,
+    "user_event_pivot": q_user_event_pivot,
+    "embed_l2norm": q_embed_l2norm,
+}
+
+ANALYTICS_SQL = {
+    "daily_activity_full": SQL_DAILY_ACTIVITY_FULL,
+    "events_props": SQL_EVENTS_PROPS,
+    "cust_urgent_and_low": SQL_CUST_URGENT_AND_LOW,
+    "cust_urgent_only": SQL_CUST_URGENT_ONLY,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "user_event_pivot": SQL_USER_EVENT_PIVOT,
+    "embed_l2norm": SQL_EMBED_L2NORM,
+}

@@ -166,6 +166,10 @@ def hash_join(
       expansion (SQL WHERE EXISTS) — ``right_columns`` may be empty.
     * ``"anti"``: left rows with 0 matches, left columns only
       (SQL WHERE NOT EXISTS).
+    * ``"full"``: left-join output PLUS unmatched right rows with NULL
+      left columns (SQL FULL OUTER JOIN). Include ``right_key`` in
+      ``right_columns`` when the caller needs the right key visible on
+      right-only rows (the left key column is NULL there).
 
     Both sides are hash-bucketed on the key (ONE static split exchange
     each — ``stages/exchange.static_cogroup_exchange`` — not Ray's
@@ -190,12 +194,14 @@ def hash_join(
     from ..stages.exchange import static_cogroup_exchange
     from ..stages.stars import _stable_bucket
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"hash_join how={how!r}")
     if how in ("semi", "anti"):
         right_columns = []  # membership only: don't ship right payload
     rk = right_key or key
-    right = right.select_columns([rk] + list(right_columns))
+    right = right.select_columns(
+        list(dict.fromkeys([rk] + list(right_columns)))
+    )
 
     def add_bucket(col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -226,7 +232,7 @@ def hash_join(
             return tl.filter(pa.array(cnt > 0))
         if how == "anti":
             return tl.filter(pa.array(cnt == 0))
-        if how == "left":
+        if how in ("left", "full"):
             # unmatched left rows survive once, with a NULL gather index
             # (Arrow take() maps null indices to null output values)
             cnt_out = np.maximum(cnt, 1)
@@ -239,6 +245,28 @@ def hash_join(
             out = tl.take(pa.array(rep))
             for c in right_columns:
                 out = out.append_column(c, tr[c].combine_chunks().take(idx))
+            if how == "full":
+                # plus unmatched RIGHT rows (NULL left columns) — both
+                # sides of the bucket are already local, so right-side
+                # survival costs one extra searchsorted, no new exchange
+                lks = np.sort(lk)
+                r_unm = (
+                    np.searchsorted(lks, rkv, "right")
+                    - np.searchsorted(lks, rkv, "left")
+                ) == 0
+                m = int(r_unm.sum())
+                if m:
+                    nul = pa.array(
+                        np.zeros(m, np.int64), pa.int64(),
+                        mask=np.ones(m, bool),
+                    )
+                    extra = tl.take(nul)  # all-NULL left columns, typed
+                    trm = tr.filter(pa.array(r_unm))
+                    for c in right_columns:
+                        extra = extra.append_column(
+                            c, trm[c].combine_chunks()
+                        )
+                    out = pa.concat_tables([out, extra])
             return out
         rep = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
         gather = order[_range_gather(lo, cnt)]

@@ -2279,3 +2279,12 @@ COLO_SQL = {
     "colo_patterns": sql_patterns_full(),
     "colo_patterns_salted": sql_patterns_full(),
 }
+
+
+# warehouse-analytics family (full outer join, JSON extraction, set ops,
+# rollup, pivot, embedding norms) lives in its own module; merged here
+# so the driver registry stays one import
+from .analytics import ANALYTICS_QUERIES, ANALYTICS_SQL  # noqa: E402
+
+DATA_QUERIES.update(ANALYTICS_QUERIES)
+DATA_SQL.update(ANALYTICS_SQL)

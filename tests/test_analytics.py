@@ -1,0 +1,146 @@
+"""Full outer join, set ops, rollup/pivot/JSON analytics operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+    hash_join,
+)
+from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.setops import (
+    key_except,
+    key_intersect,
+)
+
+
+def _join_fixture(seed: int):
+    """Left/right with unmatched keys on BOTH sides and many-to-many
+    multiplicity on the shared keys."""
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, 500).astype(np.int64),  # keys 0..59
+            "lv": np.arange(500, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(30, 90, 400).astype(np.int64),  # keys 30..89
+            "rv": np.arange(400, dtype=np.int64) * 10,
+        }
+    )
+    return left, right
+
+
+def _pandas_full(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    out = left.merge(right, left_on="k", right_on="rk", how="outer")
+    return (
+        out[["k", "lv", "rk", "rv"]]
+        .sort_values(["k", "lv", "rk", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hash_join_full_outer(ray_session, seed):
+    left, right = _join_fixture(seed)
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            key="k",
+            right_key="rk",
+            right_columns=["rk", "rv"],
+            how="full",
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rk", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = _pandas_full(left, right)
+    assert len(got) == len(want)
+    # NULL-bearing int columns come back float64; compare as floats
+    for c in ["k", "lv", "rk", "rv"]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(np.float64), want[c].to_numpy(np.float64)
+        )
+    # both directions of unmatched rows survived
+    assert got["k"].isna().any() and got["rk"].isna().any()
+
+
+def test_hash_join_full_equals_inner_plus_outer_halves(ray_session):
+    """full == inner + left-only + right-only row counts."""
+    left, right = _join_fixture(5)
+    kw = dict(key="k", right_key="rk", n_buckets=8)
+    n_inner = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        right_columns=["rv"], **kw
+    ).count()
+    n_left_only = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        right_columns=[], how="anti", **kw
+    ).count()
+    n_right_only = hash_join(
+        ray.data.from_pandas(right), ray.data.from_pandas(left),
+        key="rk", right_columns=[], right_key="k", how="anti", n_buckets=8
+    ).count()
+    n_full = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        right_columns=["rk", "rv"], how="full", **kw
+    ).count()
+    assert n_full == n_inner + n_left_only + n_right_only
+
+
+def test_key_intersect_and_except(ray_session):
+    rng = np.random.default_rng(9)
+    # duplicates on both sides: set ops are over DISTINCT keys
+    a = pd.DataFrame({"id": rng.choice(np.arange(0, 40), 300).astype(np.int64)})
+    b = pd.DataFrame({"id": rng.choice(np.arange(25, 70), 300).astype(np.int64)})
+    da = ray.data.from_pandas(a).repartition(4)
+    db = ray.data.from_pandas(b).repartition(3)
+    sa, sb = set(a["id"]), set(b["id"])
+    got_i = sorted(
+        key_intersect(da, db, "id", n_buckets=8).to_pandas()["id"]
+    )
+    got_e = sorted(key_except(da, db, "id", n_buckets=8).to_pandas()["id"])
+    assert got_i == sorted(sa & sb)
+    assert got_e == sorted(sa - sb)
+
+
+def test_key_intersect_disjoint_empty(ray_session):
+    a = ray.data.from_pandas(pd.DataFrame({"id": np.arange(10, dtype=np.int64)}))
+    b = ray.data.from_pandas(
+        pd.DataFrame({"id": np.arange(100, 110, dtype=np.int64)})
+    )
+    ds = key_intersect(a, b, "id", n_buckets=4)
+    assert ds.count() == 0
+    # schema survives emptiness (typed zero-row blocks end-to-end)
+    assert ds.schema().names == ["id"]
+
+
+def test_setops_noninteger_key_raises(ray_session):
+    a = ray.data.from_pandas(pd.DataFrame({"id": ["x", "y"]}))
+    with pytest.raises(Exception, match="integer-typed"):
+        key_intersect(a, a, "id").materialize()
+
+
+def test_revenue_rollup_grains(tmp_path, ray_session):
+    """Rollup grains are self-consistent: finest sums to per-flag sums
+    to the grand total."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        q_revenue_rollup,
+    )
+
+    out = q_revenue_rollup("/root/testdata/sf0.001")
+    finest = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")]
+    per_flag = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] == "ALL")]
+    total = out[(out["l_returnflag"] == "ALL")]
+    assert len(total) == 1
+    assert finest["revenue_e4"].sum() == total["revenue_e4"].iloc[0]
+    assert per_flag["revenue_e4"].sum() == total["revenue_e4"].iloc[0]
+    assert finest["n_rows"].sum() == total["n_rows"].iloc[0]
+    for flag, grp in finest.groupby("l_returnflag"):
+        row = per_flag[per_flag["l_returnflag"] == flag]
+        assert grp["revenue_e4"].sum() == row["revenue_e4"].iloc[0]
