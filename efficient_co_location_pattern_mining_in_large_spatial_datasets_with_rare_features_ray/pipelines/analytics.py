@@ -358,3 +358,90 @@ ANALYTICS_SQL = {
     "user_event_pivot": SQL_USER_EVENT_PIVOT,
     "embed_l2norm": SQL_EMBED_L2NORM,
 }
+
+
+# ------------------------------------------------- running total / ntile
+
+
+def q_events_cumsum(sf_dir: str) -> Dataset:
+    """Per-key running total (SUM OVER ... ROWS UNBOUNDED PRECEDING):
+    each user's cumulative spend in integer cents — the exact-arithmetic
+    trick of the Q3 composite applied to a window, so the prefix sum is
+    order-independent-exact and hash-matches SQL regardless of float
+    summation association. One hash shuffle, vectorized in-group
+    sort + cumsum (same one-key-per-task contract as the sessionizer)."""
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts": df["ts"].to_numpy(),
+                "cum_cents": np.cumsum(cents),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_EVENTS_CUMSUM = """SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events"""
+
+
+NTILE_BUCKETS = 4
+
+
+def q_orders_price_quartile(sf_dir: str) -> Dataset:
+    """NTILE (equal-frequency bucketing) over a total order: quartile of
+    every order by totalprice. Rides the distributed global_rank
+    operator (range partition -> per-bucket sort + offsets); the
+    rank -> ntile map is pure per-batch arithmetic off the one tiny
+    metadata count, so the bucketing adds NO extra pass or shuffle."""
+    import ray.data
+
+    from .rank import global_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    n = orders.count()  # parquet metadata, no execution
+    ranked = global_rank(
+        orders, "o_totalprice", "o_orderkey", rank_col="price_rank"
+    )
+    base, rem = divmod(n, NTILE_BUCKETS)
+    cut = rem * (base + 1)
+
+    def add_ntile(t: pa.Table) -> pa.Table:
+        r = t["price_rank"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        if base == 0:  # degenerate tiny input: one row per bucket
+            nt = r + 1
+        else:
+            nt = np.where(r < cut, r // (base + 1), rem + (r - cut) // base) + 1
+        return t.append_column("quartile", pa.array(nt, pa.int64()))
+
+    return ranked.map_batches(add_ntile, batch_format="pyarrow")
+
+
+SQL_ORDERS_PRICE_QUARTILE = f"""SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER w AS price_rank,
+       CAST(NTILE({NTILE_BUCKETS}) OVER w AS BIGINT) AS quartile
+FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)"""
+
+
+ANALYTICS_QUERIES["events_cumsum"] = q_events_cumsum
+ANALYTICS_QUERIES["orders_price_quartile"] = q_orders_price_quartile
+ANALYTICS_SQL["events_cumsum"] = SQL_EVENTS_CUMSUM
+ANALYTICS_SQL["orders_price_quartile"] = SQL_ORDERS_PRICE_QUARTILE
