@@ -445,3 +445,107 @@ ANALYTICS_QUERIES["events_cumsum"] = q_events_cumsum
 ANALYTICS_QUERIES["orders_price_quartile"] = q_orders_price_quartile
 ANALYTICS_SQL["events_cumsum"] = SQL_EVENTS_CUMSUM
 ANALYTICS_SQL["orders_price_quartile"] = SQL_ORDERS_PRICE_QUARTILE
+
+
+# ------------------------------------------------- string-key join
+
+
+def q_docs_source_enriched(sf_dir: str) -> Dataset:
+    """STRING-key shuffle join (fact x derived aggregate): every doc
+    enriched with its source's corpus stats. The aggregate side builds
+    with per-batch partials (tiny — one row per source per block); the
+    join buckets both sides on the stable string hash and
+    dictionary-encodes within each bucket (joins.hash_join string-key
+    path) — exact string equality, no hash false positives, and the
+    fact side never ships anything but its own rows once."""
+    import ray.data
+
+    from .joins import hash_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"source": df["source"], "n_src_docs": 1,
+                          "src_chars": df["n_chars"]})
+            .groupby("source", sort=False).sum().reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).agg(
+            n_src_docs=("n_src_docs", "sum"), src_chars=("src_chars", "sum")
+        ).reset_index()
+        g["n_src_docs"] = g["n_src_docs"].astype(np.int64)
+        g["src_chars"] = g["src_chars"].astype(np.int64)
+        return g
+
+    per_source = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return hash_join(
+        docs.select_columns(["doc_id", "source"]), per_source,
+        key="source", right_columns=["n_src_docs", "src_chars"],
+        n_buckets=16,
+    )
+
+
+SQL_DOCS_SOURCE_ENRICHED = """SELECT d.doc_id, d.source,
+       s.n_src_docs, s.src_chars
+FROM documents d JOIN (
+  SELECT source, COUNT(*) AS n_src_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS src_chars
+  FROM documents GROUP BY source
+) s USING (source)"""
+
+
+ANALYTICS_QUERIES["docs_source_enriched"] = q_docs_source_enriched
+ANALYTICS_SQL["docs_source_enriched"] = SQL_DOCS_SOURCE_ENRICHED
+
+
+# --------------------------------------------------- explode / unnest
+
+
+def q_doc_tokens_exploded(sf_dir: str) -> Dataset:
+    """Explode (SQL UNNEST WITH ORDINALITY): one output row per token
+    with its 1-based in-doc position — the row-expansion operator shape
+    (flat_map) every text pipeline needs between doc-grain and
+    token-grain stages. Map-only: the expansion happens inside each
+    batch (repeat-gather for doc_ids, one vectorized ragged-range for
+    the ordinality), so blocks grow but never shuffle."""
+    import itertools
+
+    import ray.data
+
+    from ..mining_core import _range_gather
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        pieces = df["text"].str.split(" ")
+        cnt = pieces.str.len().to_numpy(np.int64)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), cnt)
+        toks = list(itertools.chain.from_iterable(pieces))
+        idx = _range_gather(np.ones(len(cnt), np.int64), cnt)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "idx": pa.array(idx, pa.int64()),
+        })
+
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+SQL_DOC_TOKENS_EXPLODED = """SELECT doc_id,
+       unnest(string_split(text, ' ')) AS token,
+       generate_subscripts(string_split(text, ' '), 1) AS idx
+FROM documents"""
+
+
+ANALYTICS_QUERIES["doc_tokens_exploded"] = q_doc_tokens_exploded
+ANALYTICS_SQL["doc_tokens_exploded"] = SQL_DOC_TOKENS_EXPLODED

@@ -187,9 +187,13 @@ def hash_join(
     treatment (split the hot key, replicate the right side's rows per
     salt) applies as in the mining path's salted mode.
 
-    ``key`` must be integer-typed on both sides (crawl/warehouse fact
-    keys are); right keys may repeat (many-to-many expands). Right
-    columns are appended after the left columns; collisions raise."""
+    ``key`` may be integer-typed (crawl/warehouse fact keys) OR
+    string-typed (urls, domains, source names): string keys bucket by
+    the same stable hash and are dictionary-encoded per bucket against
+    one sorted vocab, so the probe is the identical int searchsorted
+    path with exact string equality (no hash false positives). Right
+    keys may repeat (many-to-many expands). Right columns are appended
+    after the left columns; collisions raise."""
     from ..mining_core import _range_gather
     from ..stages.exchange import static_cogroup_exchange
     from ..stages.stars import _stable_bucket
@@ -206,8 +210,13 @@ def hash_join(
     def add_bucket(col: str):
         def fn(t: pa.Table) -> pa.Table:
             k = t[col].to_numpy(zero_copy_only=False)
-            if not np.issubdtype(k.dtype, np.integer):
-                raise TypeError(f"hash_join key {col!r} must be integer-typed")
+            if not (
+                np.issubdtype(k.dtype, np.integer) or k.dtype == object
+            ):
+                raise TypeError(
+                    f"hash_join key {col!r} must be integer- or "
+                    f"string-typed"
+                )
             return t.append_column(
                 "__jb", pa.array(_stable_bucket(k, n_buckets), pa.int64())
             )
@@ -222,8 +231,28 @@ def hash_join(
         for c in right_columns:
             if c in tl.column_names:
                 raise ValueError(f"column collision in hash_join: {c!r}")
-        lk = tl[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        rkv = tr[rk].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        lk_raw = tl[key].to_numpy(zero_copy_only=False)
+        rk_raw = tr[rk].to_numpy(zero_copy_only=False)
+        l_int = np.issubdtype(lk_raw.dtype, np.integer)
+        r_int = np.issubdtype(rk_raw.dtype, np.integer)
+        # dtype comes from the Arrow schema, so the check is reliable
+        # even for a bucket whose slice of one side is zero rows
+        if l_int != r_int:
+            raise TypeError(
+                f"hash_join key dtype mismatch: left {lk_raw.dtype} "
+                f"vs right {rk_raw.dtype}"
+            )
+        if l_int:
+            lk = lk_raw.astype(np.int64, copy=False)
+            rkv = rk_raw.astype(np.int64, copy=False)
+        else:
+            # string keys: dictionary-encode WITHIN the bucket (both
+            # sides against one sorted vocab) so the probe below stays
+            # the same int searchsorted path — exact string equality,
+            # no hash false positives
+            vocab = np.unique(np.concatenate([lk_raw, rk_raw]))
+            lk = np.searchsorted(vocab, lk_raw).astype(np.int64)
+            rkv = np.searchsorted(vocab, rk_raw).astype(np.int64)
         order = np.argsort(rkv, kind="stable")  # stable: right row order
         rs = rkv[order]
         lo = np.searchsorted(rs, lk, "left")

@@ -144,3 +144,70 @@ def test_revenue_rollup_grains(tmp_path, ray_session):
     for flag, grp in finest.groupby("l_returnflag"):
         row = per_flag[per_flag["l_returnflag"] == flag]
         assert grp["revenue_e4"].sum() == row["revenue_e4"].iloc[0]
+
+
+def _string_key_fixture(seed: int):
+    rng = np.random.default_rng(seed)
+    domains = np.array([f"site{i}.example" for i in range(30)], object)
+    left = pd.DataFrame(
+        {
+            "url_host": domains[rng.integers(0, 30, 400)],
+            "lv": np.arange(400, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            # keys 15..44: partial overlap, unmatched on both sides
+            "host": np.array(
+                [f"site{i}.example" for i in range(15, 45)], object
+            )[rng.integers(0, 30, 200)],
+            "rv": np.arange(200, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+def test_hash_join_string_keys(ray_session, seed):
+    left, right = _string_key_fixture(seed)
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            key="url_host",
+            right_key="host",
+            right_columns=["rv"],
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["url_host", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="url_host", right_on="host")[
+            ["url_host", "lv", "rv"]
+        ]
+        .sort_values(["url_host", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_string_keys_anti_left(ray_session):
+    left, right = _string_key_fixture(7)
+    da = ray.data.from_pandas(left)
+    db = ray.data.from_pandas(right)
+    anti = hash_join(
+        da, db, key="url_host", right_columns=[], right_key="host",
+        how="anti", n_buckets=8,
+    ).to_pandas()
+    want_anti = left[~left["url_host"].isin(set(right["host"]))]
+    assert sorted(anti["lv"]) == sorted(want_anti["lv"])
+    n_left = hash_join(
+        da, db, key="url_host", right_columns=["rv"], right_key="host",
+        how="left", n_buckets=8,
+    ).count()
+    want_left = left.merge(
+        right, left_on="url_host", right_on="host", how="left"
+    )
+    assert n_left == len(want_left)

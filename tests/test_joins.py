@@ -184,9 +184,15 @@ def test_hash_join_contracts(ray_session):
     with pytest.raises(Exception, match="collision"):
         hash_join(left, right, key="k", right_columns=["rv"]).to_pandas()
 
-    # non-integer key rejected
+    # float key rejected (int and string are the supported domains)
+    fleft = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1.5, 2.5]), "v": [1, 2]}))
+    with pytest.raises(Exception, match="integer- or string-typed"):
+        hash_join(fleft, right, key="k", right_columns=["rv"]).to_pandas()
+
+    # mixed-type keys (string left, int right) fail loudly in the probe
     sleft = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
-    with pytest.raises(Exception, match="integer"):
+    with pytest.raises(Exception, match="dtype mismatch"):
         hash_join(sleft, right, key="k", right_columns=["rv"]).to_pandas()
 
     # disjoint keys -> typed empty result with the joined schema
