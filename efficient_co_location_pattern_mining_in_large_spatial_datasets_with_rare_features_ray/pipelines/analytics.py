@@ -549,3 +549,36 @@ FROM documents"""
 
 ANALYTICS_QUERIES["doc_tokens_exploded"] = q_doc_tokens_exploded
 ANALYTICS_SQL["doc_tokens_exploded"] = SQL_DOC_TOKENS_EXPLODED
+
+
+# ------------------------------------------------ HLL distinct sketch
+
+
+def q_events_hll_users(sf_dir: str) -> pa.Table:
+    """Approximate distinct users per event type via the mergeable
+    HyperLogLog sketch (pipelines/sketches.py) — the constant-exchange
+    scale path beside the exact operator (events_distinct_users): at
+    most 1024 register rows per key per block move, independent of id
+    cardinality. Deterministic (stable SipHash registers, max-merge
+    associative), so the committed VALUES golden is an exact oracle;
+    accuracy vs the exact count is separately tested (~3% at m=1024)."""
+    import ray.data
+
+    from .sketches import hll_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    df = (
+        hll_distinct(ev, "event_type", "user_id")
+        .to_pandas()  # one row per event type
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table({
+        "event_type": pa.array(df["event_type"].astype(str), pa.string()),
+        "est": pa.array(df["est"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+ANALYTICS_QUERIES["events_hll_users"] = q_events_hll_users

@@ -2245,7 +2245,8 @@ for _n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8", "embed_clusters"):
 # deterministic -- the committed VALUES goldens (gated on an
 # events-table fingerprint) are their exact oracles.
 for _n in ("image_phash", "image_phash_neardup", "image_stats",
-           "image_resize", "audio_features", "video_frames"):
+           "image_resize", "audio_features", "video_frames",
+           "events_hll_users"):
     _g = _golden_sql(_n)
     if _g:
         DATA_SQL[_n] = _g

@@ -1,0 +1,97 @@
+"""Mergeable cardinality sketch (HyperLogLog) — the approximate
+counterpart of the exact distinct-count operator.
+
+`q_events_distinct_users` moves every distinct (key, id) pair through a
+shuffle — exact, but at 10^11 distinct ids per key that is the
+dominant exchange. The HLL path moves AT MOST ``m`` register rows per
+key per block (constant, independent of cardinality): per-batch
+register partials, one tiny (key, register) max-merge, one estimate row
+per key. Standard HLL (Flajolet et al. 2007) with the small-range
+linear-counting correction; deterministic (the stable 64-bit hash is
+pandas ``hash_array``'s fixed-key SipHash, the same primitive the
+engine's bucket exchanges use), so the output is byte-stable and can be
+oracle-checked against a committed golden while accuracy is separately
+tested against the exact count (~1.04/sqrt(m) relative error).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+HLL_P = 10  # 2^10 = 1024 registers: ~3.2% typical error, 8 KiB per key
+
+
+def _registers(ids: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Nonzero HLL registers of one id batch: (register_idx, rho)."""
+    h = pd.util.hash_array(ids, categorize=False)  # stable uint64
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rho = leading zeros of the remaining 64-P bits + 1; the OR above
+    # plants a stop bit so rho is capped at 64-P+1 without a branch
+    rho = np.zeros(len(h), np.int64)
+    probe = np.uint64(1) << np.uint64(63)
+    live = np.ones(len(h), bool)
+    for r in range(1, 64 - HLL_P + 2):
+        hit = live & ((rest & probe) != 0)
+        rho[hit] = r
+        live &= ~hit
+        if not live.any():
+            break
+        probe >>= np.uint64(1)
+    # per-register max within the batch
+    key = idx * 128 + rho
+    order = np.argsort(key)
+    idx_s = idx[order]
+    last = np.ones(len(idx_s), bool)
+    last[:-1] = idx_s[:-1] != idx_s[1:]
+    return idx_s[last], rho[order][last]
+
+
+def hll_distinct(
+    ds: Dataset, key_col: str, id_col: str
+) -> Dataset:
+    """Approximate COUNT(DISTINCT id) per key. Returns one row per key:
+    (key, est). Exchange volume is <= 1024 register rows per key per
+    block — never proportional to the id cardinality."""
+    m = 1 << HLL_P
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for k, grp in df.groupby(key_col, sort=False):
+            ids = grp[id_col].to_numpy()
+            reg, rho = _registers(ids, m)
+            outs.append(pd.DataFrame({key_col: k, "reg": reg, "rho": rho}))
+        if not outs:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "reg": pd.Series([], dtype=np.int64),
+                                 "rho": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_e = [], []
+        for k, grp in df.groupby(key_col, sort=False):
+            regs = np.zeros(m, np.float64)
+            np.maximum.at(regs, grp["reg"].to_numpy(np.int64),
+                          grp["rho"].to_numpy(np.float64))
+            alpha = 0.7213 / (1 + 1.079 / m)
+            raw = alpha * m * m / np.sum(np.exp2(-regs))
+            zeros = int(np.sum(regs == 0))
+            if raw <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)  # linear counting
+            else:
+                est = raw
+            out_k.append(k)
+            out_e.append(int(round(est)))
+        return pd.DataFrame({key_col: out_k,
+                             "est": np.array(out_e, np.int64)})
+
+    # registers merge by MAX, so the same groupby plan the exact
+    # operator uses works unchanged — just over <= m rows per key
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(estimate, batch_format="pandas")
+    )

@@ -141,6 +141,7 @@ def main() -> None:
         ("image_resize", q.q_image_resize, set()),
         ("audio_features", q.q_audio_features, {"duration_s", "rms"}),
         ("video_frames", q.q_video_frames, {"mean_gray"}),
+        ("events_hll_users", q.DATA_QUERIES["events_hll_users"], set()),
     ):
         t = fn(SF_DIR)
         sql = to_values_sql_guarded(t, float_cols=fcols, guard_expr=guard,
