@@ -62,28 +62,47 @@ def broadcast_join(
     per shard. Plasma objects are fetched node-local once per worker,
     never re-shipped per batch.
 
-    ``key`` must be integer-typed on both sides and UNIQUE on the right
-    (dimension contract; duplicate right keys raise); ``right_key``
-    names the right side's key column when it differs (o_custkey vs
-    c_custkey). Left rows with no match are dropped (inner join). Right
-    columns are appended after the left columns; name collisions
-    raise."""
+    ``key`` may be integer- or STRING-typed (string keys probe by the
+    stable 64-bit hash with an exact string-equality verify at matched
+    positions — collisions can only cause a verified miss, never a
+    false match; two right keys sharing a hash raise loudly at build)
+    and must be UNIQUE on the right (dimension contract; duplicate
+    right keys raise); ``right_key`` names the right side's key column
+    when it differs (o_custkey vs c_custkey). Left rows with no match
+    are dropped (inner join). Right columns are appended after the left
+    columns; name collisions raise."""
     import ray as _ray
 
     rk = right_key or key
     rt = small_right.select_columns([rk] + list(right_columns)).to_pandas()
-    rkeys = rt[rk].to_numpy()
-    if not np.issubdtype(rkeys.dtype, np.integer):
-        raise TypeError(f"broadcast_join key {key!r} must be integer-typed")
-    rkeys = rkeys.astype(np.int64)
-    order = np.argsort(rkeys)
-    rkeys = rkeys[order]
-    if len(rkeys) > 1 and (rkeys[1:] == rkeys[:-1]).any():
+    rkeys_raw = rt[rk].to_numpy()
+    str_key = not np.issubdtype(rkeys_raw.dtype, np.integer)
+    if str_key:
+        # probe on the stable hash; keep the strings for the verify
+        rkeys = pd.util.hash_array(
+            np.asarray(rkeys_raw, dtype=object), categorize=False
+        ).view(np.int64)
+    else:
+        rkeys = rkeys_raw.astype(np.int64)
+    if str_key and len(set(rkeys_raw)) != len(rkeys_raw):
         raise ValueError(
             f"duplicate right-side keys in broadcast_join on {key!r} "
             "(dimension contract: unique keys)"
         )
+    order = np.argsort(rkeys, kind="stable")
+    rkeys = rkeys[order]
+    if len(rkeys) > 1 and (rkeys[1:] == rkeys[:-1]).any():
+        raise ValueError(
+            f"duplicate right-side keys in broadcast_join on {key!r} "
+            + ("(64-bit hash collision among unique string keys)"
+               if str_key else "(dimension contract: unique keys)")
+        )
+    shard_cols = list(right_columns)
     rvals = {c: rt[c].to_numpy()[order] for c in right_columns}
+    if str_key:
+        # the verify strings ride in the shards beside the payload
+        rvals["__bj_key_str"] = np.asarray(rkeys_raw, dtype=object)[order]
+        shard_cols.append("__bj_key_str")
     # tiny per-column type info for the probe closure (the probe must
     # NOT capture rkeys/rvals — only the shard refs)
     rdtypes = {c: rvals[c].dtype for c in right_columns}
@@ -102,7 +121,7 @@ def broadcast_join(
             _ray.put(
                 (
                     np.ascontiguousarray(rkeys[sel]),
-                    {c: rvals[c][sel] for c in right_columns},
+                    {c: rvals[c][sel] for c in shard_cols},
                 )
             )
         )
@@ -111,7 +130,23 @@ def broadcast_join(
         for c in right_columns:
             if c in t.column_names:
                 raise ValueError(f"column collision in broadcast_join: {c!r}")
-        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        k_raw = t[key].to_numpy(zero_copy_only=False)
+        if str_key:
+            if np.issubdtype(k_raw.dtype, np.integer):
+                raise TypeError(
+                    f"broadcast_join key dtype mismatch on {key!r}: "
+                    "left integer vs right string"
+                )
+            k = pd.util.hash_array(
+                np.asarray(k_raw, dtype=object), categorize=False
+            ).view(np.int64)
+        elif not np.issubdtype(k_raw.dtype, np.integer):
+            raise TypeError(
+                f"broadcast_join key dtype mismatch on {key!r}: "
+                f"left {k_raw.dtype} vs right integer"
+            )
+        else:
+            k = k_raw.astype(np.int64)
         hit = np.zeros(len(k), bool)
         gather = np.zeros(len(k), np.int64)  # index into the hit shard
         shard_id = np.zeros(len(k), np.int32)
@@ -133,6 +168,19 @@ def broadcast_join(
         out = t.filter(pa.array(hit))
         h_gather = gather[hit]
         h_shard = shard_id[hit]
+        if str_key and out.num_rows:
+            # exact verify: a hash match against a DIFFERENT string is a
+            # collision-induced false hit — drop it (misses impossible:
+            # build raised on right-side hash dups)
+            ver = np.empty(out.num_rows, object)
+            for s in np.unique(h_shard):
+                m = h_shard == s
+                ver[m] = shards[int(s)]["__bj_key_str"][h_gather[m]]
+            ok = np.asarray(k_raw, dtype=object)[hit] == ver
+            if not ok.all():
+                out = out.filter(pa.array(ok))
+                h_gather = h_gather[ok]
+                h_shard = h_shard[ok]
         for c in right_columns:
             col = np.empty(out.num_rows, dtype=rdtypes[c])
             for s in np.unique(h_shard):

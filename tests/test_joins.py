@@ -130,6 +130,50 @@ def test_broadcast_join_enrichment(ray_session):
                        right_columns=["name", "grp"], right_key="rk")
 
 
+def test_broadcast_join_string_keys(ray_session):
+    """STRING-key broadcast join: hash probe + exact string verify,
+    multi-shard path, misses dropped, dtype-mismatch rejection."""
+    import pandas as pd
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        broadcast_join,
+    )
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "src": ["cc", "wiki", "arxiv", "cc", "github", "nope"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })).repartition(2)
+    right = ray.data.from_pandas(pd.DataFrame({
+        "source": ["arxiv", "cc", "github", "wiki", "books"],
+        "tier": np.array([2, 0, 1, 1, 2], np.int64),
+        "label": ["paper", "crawl", "code", "ref", "book"],
+    }))
+    out = broadcast_join(
+        left, right, key="src", right_columns=["tier", "label"],
+        right_key="source", max_per_shard=2,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert out["src"].tolist() == ["cc", "wiki", "arxiv", "cc", "github"]
+    assert out["tier"].tolist() == [0, 1, 2, 0, 1]
+    assert out["label"].tolist() == ["crawl", "ref", "paper", "crawl", "code"]
+
+    # duplicate right string keys violate the dimension contract
+    dup = ray.data.from_pandas(pd.DataFrame(
+        {"source": ["cc", "cc"], "tier": np.array([0, 1], np.int64),
+         "label": ["a", "b"]}))
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(left, dup, key="src",
+                       right_columns=["tier", "label"], right_key="source")
+
+    # left integer vs right string key is a loud error, not a silent miss
+    ileft = ray.data.from_pandas(pd.DataFrame(
+        {"src": np.array([1, 2], np.int64), "v": [1.0, 2.0]}))
+    with pytest.raises((TypeError, Exception)):
+        broadcast_join(
+            ileft, right, key="src", right_columns=["tier"],
+            right_key="source",
+        ).to_pandas()
+
+
 @pytest.mark.parametrize("seed", [11, 42])
 def test_hash_join_matches_pandas_merge(ray_session, seed):
     """Shuffle equi-join vs pandas merge: many-to-many expansion,
