@@ -582,3 +582,250 @@ def q_events_hll_users(sf_dir: str) -> pa.Table:
 
 
 ANALYTICS_QUERIES["events_hll_users"] = q_events_hll_users
+
+
+# ------------------------------------- pricing summary (TPC-H Q1 shape)
+
+
+def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    """Multi-aggregate GROUP BY report (the TPC-H Q1 shape): per
+    (returnflag, linestatus) sums/averages/count over lineitem. ONE
+    distributed pass of per-batch partials (<= |flags|x|statuses| rows
+    leave each block) then a tiny keyed merge; all money/qty sums
+    accumulate in INTEGER units (cents, 1e-4 and 1e-6 dollars), so the
+    result is order-independent and hash-exact vs SQL, and every
+    published float is ONE IEEE division of exact ints (bit-identical
+    on both sides). int64 headroom: per-row charge units are < 1e11;
+    a >= 1e7-row block or a >= 1e18 global sum would need the merge to
+    promote to Python ints (arbitrary precision) -- the merge table is
+    aggregate-sized, so that promotion costs nothing at any scale."""
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(
+            df["l_quantity"].to_numpy(np.float64) + 0.5
+        ).astype(np.int64)
+        price_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        disc_c = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        tax_c = np.floor(
+            df["l_tax"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        disc_e4 = price_c * (100 - disc_c)
+        return (
+            pd.DataFrame({
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty": qty,
+                "price_c": price_c,
+                "disc_e4": disc_e4,
+                "charge_e6": disc_e4 * (100 + tax_c),
+                "disc_c": disc_c,
+                "n": 1,
+            })
+            .groupby(keys, sort=False).sum().reset_index()
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(
+            lambda df: df.groupby(keys, sort=False).sum().reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()  # aggregate-sized: |flags| x |statuses| rows
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "l_linestatus": agg["l_linestatus"],
+        "sum_qty": agg["qty"].to_numpy(np.int64),
+        "sum_base_price": agg["price_c"].to_numpy(np.int64) / 100.0,
+        "sum_disc_price": agg["disc_e4"].to_numpy(np.int64) / 1e4,
+        "sum_charge": agg["charge_e6"].to_numpy(np.int64) / 1e6,
+        "avg_qty": agg["qty"].to_numpy(np.int64).astype(np.float64) / n,
+        "avg_price": (
+            agg["price_c"].to_numpy(np.int64).astype(np.float64) / 100.0 / n
+        ),
+        "avg_disc": (
+            agg["disc_c"].to_numpy(np.int64).astype(np.float64) / 100.0 / n
+        ),
+        "count_order": n,
+    })
+    return out
+
+
+# Every float mirrors the engine bit-for-bit: the same integer-unit sum
+# followed by the same division(s).
+SQL_LINEITEM_PRICING = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+       AS DOUBLE) / 1e4 AS sum_disc_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+           * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)))
+       AS DOUBLE) / 1e6 AS sum_charge,
+  CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+    / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 100.0 / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 100.0 / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus"""
+
+
+ANALYTICS_QUERIES["lineitem_pricing"] = q_lineitem_pricing
+ANALYTICS_SQL["lineitem_pricing"] = SQL_LINEITEM_PRICING
+
+
+# --------------------------------------------- hopping (sliding) window
+
+HOP_US = 6 * 3600 * 1_000_000  # 6-hour hop
+HOP_WINDOW_US = 2 * HOP_US     # 12-hour windows -> each event in exactly 2
+
+
+def q_events_hopping(sf_dir: str) -> Dataset:
+    """Hopping-window aggregate (width = 2 x hop): per (event_type,
+    window_start) event count and exact cent-unit value sum. Each event
+    belongs to exactly TWO windows (k = floor(ts/hop) and k-1), so the
+    replication is a constant-factor in-batch expansion — blocks grow
+    2x, nothing reshuffles until the tiny per-(type, window) partials.
+    The tumbling window (events_windowed) is the degenerate width=hop
+    case of this plan; wider windows replicate width/hop times, still
+    map-only before the aggregate-sized keyed merge."""
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        k = np.floor_divide(us, HOP_US)
+        v_c = np.floor(
+            df["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        # window k covers [k*hop, k*hop + 2*hop): event at t is in
+        # windows floor(t/hop) and floor(t/hop)-1, always both
+        return (
+            pd.DataFrame({
+                "event_type": np.concatenate([et, et]),
+                "window_start_us": np.concatenate([k, k - 1]) * HOP_US,
+                "n_events": 1,
+                "value_c": np.concatenate([v_c, v_c]),
+            })
+            .groupby(["event_type", "window_start_us"], sort=False)
+            .sum().reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start_us"], sort=False).agg(
+            n_events=("n_events", "sum"), value_c=("value_c", "sum")
+        ).reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_value"] = g["value_c"].to_numpy(np.int64) / 100.0
+        return g[["event_type", "window_start_us", "n_events", "sum_value"]]
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start_us"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_HOPPING = f"""WITH ks AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / {HOP_US}) AS BIGINT) AS k,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+), both_windows AS (
+  SELECT event_type, k AS w, v_c FROM ks
+  UNION ALL
+  SELECT event_type, k - 1 AS w, v_c FROM ks
+)
+SELECT event_type, w * {HOP_US} AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(v_c) AS DOUBLE) / 100.0 AS sum_value
+FROM both_windows
+GROUP BY event_type, w"""
+
+
+ANALYTICS_QUERIES["events_hopping"] = q_events_hopping
+ANALYTICS_SQL["events_hopping"] = SQL_EVENTS_HOPPING
+
+
+# ------------------------------------------- regex scrub (PII-redaction shape)
+
+# the redaction target: standalone single-letter 'a' / article 'the' --
+# the pattern class (word-boundary alternation) is exactly what an
+# email/phone PII scrub compiles; the synthetic corpus has no PII, so
+# the demo pattern targets words that actually occur
+SCRUB_PATTERN = r"\b(?:a|the)\b"
+
+
+def q_doc_scrub(sf_dir: str) -> Dataset:
+    """Regex scrub / PII-redaction shape: map-only pass that deletes
+    every match of a compiled pattern from each document and reports
+    the per-doc clean length and match count. The pattern compiles ONCE
+    per actor (callable-class stage), the scan is pandas' vectorized
+    str kernels over the batch -- no per-row Python, no shuffle, and
+    only (doc_id, counts) leave the stage (the scrubbed text itself
+    would be written to a sink in a real redaction run)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    class Scrubber:
+        def __init__(self):
+            import re
+
+            self.pat = re.compile(SCRUB_PATTERN)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            s = df["text"].astype(str)
+            n_hits = s.str.count(self.pat.pattern).astype(np.int64)
+            clean = s.str.replace(self.pat.pattern, "", regex=True)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_redacted": n_hits,
+                "clean_chars": clean.str.len().astype(np.int64),
+            })
+
+    # pool sized BELOW the cluster CPU count so upstream read tasks
+    # always have a slot (an actor pool that reserves every CPU
+    # deadlocks the streaming executor on small test clusters)
+    return docs.map_batches(
+        Scrubber, concurrency=2, num_cpus=1, batch_format="pandas"
+    )
+
+
+SQL_DOC_SCRUB = rf"""SELECT doc_id,
+  CAST(LENGTH(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS BIGINT)
+    AS n_redacted,
+  CAST(LENGTH(REGEXP_REPLACE(text, '{SCRUB_PATTERN}', '', 'g')) AS BIGINT)
+    AS clean_chars
+FROM documents"""
+
+
+ANALYTICS_QUERIES["doc_scrub"] = q_doc_scrub
+ANALYTICS_SQL["doc_scrub"] = SQL_DOC_SCRUB

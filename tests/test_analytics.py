@@ -211,3 +211,93 @@ def test_hash_join_string_keys_anti_left(ray_session):
         right, left_on="url_host", right_on="host", how="left"
     )
     assert n_left == len(want_left)
+
+
+def test_lineitem_pricing_vs_duckdb(ray_session):
+    """Q1-shape pricing summary is bit-exact vs the SQL restatement
+    (integer-unit sums, identical IEEE divisions)."""
+    import duckdb
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        SQL_LINEITEM_PRICING,
+        q_lineitem_pricing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_lineitem_pricing(sf).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.sql(SQL_LINEITEM_PRICING).df().sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        if got[c].dtype == object:
+            assert got[c].tolist() == want[c].tolist()
+        else:
+            # bit-exact: integer sums + identical single divisions
+            assert np.array_equal(
+                got[c].to_numpy(), want[c].to_numpy()
+            ), c
+
+
+def test_events_hopping_window_membership(ray_session):
+    """Every event lands in exactly two hopping windows and the
+    per-window sums partition-invariantly match a hand aggregate."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        HOP_US,
+        HOP_WINDOW_US,
+        q_events_hopping,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_hopping(sf).to_pandas()
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    # total replicated mass = 2x the input
+    assert got["n_events"].sum() == 2 * len(ev)
+    # hand-check one window: count events with ws <= t < ws + width
+    row = got.sort_values(["event_type", "window_start_us"]).iloc[5]
+    us = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    m = (
+        (ev["event_type"] == row["event_type"]).to_numpy()
+        & (us >= row["window_start_us"])
+        & (us < row["window_start_us"] + HOP_WINDOW_US)
+    )
+    assert int(m.sum()) == int(row["n_events"])
+    v_c = np.floor(ev["value"].to_numpy(np.float64) * 100 + 0.5)
+    assert float(v_c[m].sum() / 100.0) == float(row["sum_value"])
+    # window starts are hop-aligned
+    assert (got["window_start_us"].to_numpy() % HOP_US == 0).all()
+
+
+def test_doc_scrub_counts(ray_session):
+    """Regex scrub: clean length + match count agree with a direct
+    re.sub/findall pass over the same docs."""
+    import re
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        SCRUB_PATTERN,
+        q_doc_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_scrub(sf).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pat = re.compile(SCRUB_PATTERN)
+    assert got["doc_id"].tolist() == docs["doc_id"].tolist()
+    assert got["n_redacted"].tolist() == [
+        len(pat.findall(t)) for t in docs["text"]
+    ]
+    assert got["clean_chars"].tolist() == [
+        len(pat.sub("", t)) for t in docs["text"]
+    ]
+    assert got["n_redacted"].sum() > 0  # the pattern actually fires
