@@ -200,6 +200,7 @@ def hash_join(
     right_key: str | None = None,
     n_buckets: int = 64,
     how: str = "inner",
+    n_salt: int = 1,
 ) -> Dataset:
     """Equi-join of two LARGE Datasets — the shuffle counterpart of
     ``broadcast_join`` for when neither side is dimension-sized
@@ -231,9 +232,16 @@ def hash_join(
     Partitioning assumption (custom-operator contract): one BUCKET (not
     one key) must fit in a task — with the default 64 buckets that is
     ~1/64th of each side, and ``n_buckets`` scales with input size. A
-    pathological hot KEY still lands in one bucket; the salt-and-merge
-    treatment (split the hot key, replicate the right side's rows per
-    salt) applies as in the mining path's salted mode.
+    pathological hot KEY still lands in one bucket; pass ``n_salt > 1``
+    to split it: left rows round-robin across ``n_salt`` sub-buckets of
+    their hash bucket (deterministic in-batch position, so a retried
+    task reproduces its output) and right rows REPLICATE to all
+    ``n_salt`` sub-buckets — every left row still meets every matching
+    right row exactly once, per-task left volume shrinks ~n_salt x, and
+    the cost is n_salt x replication of the (smaller) right side.
+    Supported for inner/left/semi/anti; ``how="full"`` raises (its
+    unmatched-RIGHT detection is per-bucket, and a replicated right row
+    would be emitted once per salt).
 
     ``key`` may be integer-typed (crawl/warehouse fact keys) OR
     string-typed (urls, domains, source names): string keys bucket by
@@ -248,6 +256,15 @@ def hash_join(
 
     if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"hash_join how={how!r}")
+    n_salt = int(n_salt)
+    if n_salt < 1:
+        raise ValueError(f"hash_join n_salt={n_salt}")
+    if n_salt > 1 and how == "full":
+        raise ValueError(
+            "hash_join n_salt > 1 is not supported for how='full': "
+            "unmatched-right detection is per-bucket and replicated "
+            "right rows would be emitted once per salt"
+        )
     if how in ("semi", "anti"):
         right_columns = []  # membership only: don't ship right payload
     rk = right_key or key
@@ -255,7 +272,7 @@ def hash_join(
         list(dict.fromkeys([rk] + list(right_columns)))
     )
 
-    def add_bucket(col: str):
+    def add_bucket(col: str, replicate: bool):
         def fn(t: pa.Table) -> pa.Table:
             k = t[col].to_numpy(zero_copy_only=False)
             if not (
@@ -265,13 +282,31 @@ def hash_join(
                     f"hash_join key {col!r} must be integer- or "
                     f"string-typed"
                 )
-            return t.append_column(
-                "__jb", pa.array(_stable_bucket(k, n_buckets), pa.int64())
-            )
+            base = _stable_bucket(k, n_buckets)
+            if n_salt == 1:
+                bucket = base
+            elif replicate:
+                # right side: one copy per salt, so every left sub-bucket
+                # of this hash bucket sees the full matching right set
+                rep = np.repeat(
+                    np.arange(t.num_rows, dtype=np.int64), n_salt
+                )
+                t = t.take(pa.array(rep))
+                bucket = np.repeat(base, n_salt) * n_salt + np.tile(
+                    np.arange(n_salt, dtype=np.int64), len(base)
+                )
+            else:
+                # left side: round-robin by in-batch position — splits a
+                # hot key evenly, deterministic per block (task retries
+                # reproduce their output)
+                bucket = base * n_salt + (
+                    np.arange(len(base), dtype=np.int64) % n_salt
+                )
+            return t.append_column("__jb", pa.array(bucket, pa.int64()))
         return fn
 
-    lb = left.map_batches(add_bucket(key), batch_format="pyarrow")
-    rb = right.map_batches(add_bucket(rk), batch_format="pyarrow")
+    lb = left.map_batches(add_bucket(key, False), batch_format="pyarrow")
+    rb = right.map_batches(add_bucket(rk, True), batch_format="pyarrow")
 
     def probe(tl: pa.Table, tr: pa.Table) -> pa.Table:
         tl = tl.drop_columns(["__jb"])
@@ -352,7 +387,7 @@ def hash_join(
             out = out.append_column(c, tr[c].combine_chunks().take(pa.array(gather)))
         return out
 
-    return static_cogroup_exchange(lb, rb, "__jb", n_buckets, probe)
+    return static_cogroup_exchange(lb, rb, "__jb", n_buckets * n_salt, probe)
 
 
 def asof_join(

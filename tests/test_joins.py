@@ -437,3 +437,54 @@ def test_hash_join_left_empty_right_side(ray_session):
                     how="left", n_buckets=4).to_pandas()
     assert len(out) == 3
     assert out["rv"].isna().all()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_salted_hot_key(ray_session, how):
+    """n_salt splits a planted hot key (80% of the left side) across
+    sub-buckets; results are identical to the unsalted join for every
+    supported mode, and how='full' rejects salting loudly."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    rng = np.random.default_rng(7)
+    hot = np.full(800, 42, np.int64)
+    cold = rng.integers(0, 60, 200).astype(np.int64)
+    left = pd.DataFrame({
+        "k": np.concatenate([hot, cold]),
+        "lv": np.arange(1000, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 80, 150).astype(np.int64),
+        "rv": np.arange(150, dtype=np.int64),
+    })
+    # ensure the hot key matches (multiplicity 3 on the right)
+    right.loc[:2, "rk"] = 42
+
+    def run(n_salt):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", right_key="rk", right_columns=cols,
+            how=how, n_buckets=8, n_salt=n_salt,
+        ).to_pandas()
+        sort_cols = [c for c in ("k", "lv", "rv") if c in out.columns]
+        return out.sort_values(sort_cols).reset_index(drop=True)
+
+    base, salted = run(1), run(8)
+    pd.testing.assert_frame_equal(base, salted)
+    if how == "inner":
+        # hot key fully expanded: left multiplicity x right multiplicity
+        n_l42 = int((left["k"] == 42).sum())
+        n_r42 = int((right["rk"] == 42).sum())
+        assert n_l42 >= 800 and n_r42 >= 3
+        assert (base["k"] == 42).sum() == n_l42 * n_r42
+
+    with pytest.raises(ValueError, match="full"):
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="k", right_key="rk", right_columns=["rv"],
+            how="full", n_salt=2,
+        )
