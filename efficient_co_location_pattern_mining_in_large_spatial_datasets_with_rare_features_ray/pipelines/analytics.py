@@ -829,3 +829,60 @@ FROM documents"""
 
 ANALYTICS_QUERIES["doc_scrub"] = q_doc_scrub
 ANALYTICS_SQL["doc_scrub"] = SQL_DOC_SCRUB
+
+
+# -------------------------------- log-histogram quantile sketch query
+
+
+def q_events_value_quantiles(sf_dir: str) -> Dataset:
+    """Approximate p50/p95/p99 of event value per type via the
+    mergeable log-histogram sketch (pipelines/sketches.py) — the
+    constant-exchange scale path beside the exact grouped percentile
+    (docs_median_chars): <= (octaves x 32) count rows per key per
+    block move, independent of value cardinality. Bin assignment is
+    integer-exact, so the SQL restatement of the same binning is a
+    hash-exact oracle; the <= 1/32 relative error bound vs the TRUE
+    quantile is separately tested."""
+    import ray.data
+
+    from .sketches import log_histogram_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return log_histogram_quantiles(ev, "event_type", "value")
+
+
+def _qsk_rep(q: str) -> str:
+    return (f"MIN(CASE WHEN cum >= CEIL({q} * tot) THEN "
+            "POW(2.0, e) * (1.0 + j / 32.0) / 100.0 END)")
+
+
+SQL_EVENTS_VALUE_QUANTILES = f"""WITH c AS (
+  SELECT event_type,
+         GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS v_c
+  FROM events
+), b AS (
+  SELECT event_type, CAST(FLOOR(LOG2(v_c + 0.5)) AS BIGINT) AS e, v_c
+  FROM c
+), bins AS (
+  SELECT event_type, e,
+         CAST(FLOOR((v_c - POW(2.0, e)) * 32 / POW(2.0, e)) AS BIGINT) AS j,
+         COUNT(*) AS n
+  FROM b GROUP BY event_type, e, j
+), r AS (
+  SELECT event_type, e, j, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY e, j
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM bins
+)
+SELECT event_type,
+  {_qsk_rep('0.5')} AS p50,
+  {_qsk_rep('0.95')} AS p95,
+  {_qsk_rep('0.99')} AS p99
+FROM r GROUP BY event_type"""
+
+
+ANALYTICS_QUERIES["events_value_quantiles"] = q_events_value_quantiles
+ANALYTICS_SQL["events_value_quantiles"] = SQL_EVENTS_VALUE_QUANTILES

@@ -95,3 +95,69 @@ def hll_distinct(
         .groupby(key_col)
         .map_groups(estimate, batch_format="pandas")
     )
+
+
+# ------------------------------- mergeable log-histogram quantile sketch
+
+QSK_SUB = 32  # sub-bins per octave: relative error <= 1/32 (~3.1%)
+
+
+def log_histogram_quantiles(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> Dataset:
+    """Approximate per-key quantiles via a mergeable log-spaced
+    histogram (the DDSketch shape, base-2 with linear sub-bins): each
+    value lands in bin (e, j) where e = floor(log2 v) and j indexes
+    ``QSK_SUB`` equal-width sub-bins of the octave [2^e, 2^(e+1)).
+    Exchange volume is <= (octaves x QSK_SUB) count rows per key per
+    block — CONSTANT in row count, unlike the exact grouped percentile
+    whose histogram is value-cardinality-sized. Bin assignment is
+    integer-exact (values are 2-dp cents; the 0.5 offset keeps every
+    integer a safe ~2^-25 log-distance from octave boundaries, ~1e6 x
+    the float64 log2 error), so the estimate — the LOWER BOUND of the
+    bin holding rank ceil(q*n) — is bit-reproducible and restatable in
+    SQL: an honest hash-exact oracle for an approximate operator.
+    Guarantee: est <= true quantile < est * (1 + 1/QSK_SUB)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v_c = np.maximum(
+            np.floor(df[value_col].to_numpy(np.float64) * 100 + 0.5), 1.0
+        ).astype(np.int64)  # cents, zero/negative clamped to first bin
+        e = np.floor(np.log2(v_c + 0.5)).astype(np.int64)
+        octave = np.exp2(e)  # exact powers of two
+        j = np.floor((v_c - octave) * QSK_SUB / octave).astype(np.int64)
+        out = (
+            pd.DataFrame({key_col: df[key_col], "e": e, "j": j, "n": 1})
+            .groupby([key_col, "e", "j"], sort=False).sum().reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, grp in df.groupby(key_col, sort=False):
+            g = grp.groupby(["e", "j"], sort=True)["n"].sum().reset_index()
+            cum = g["n"].to_numpy(np.int64).cumsum()
+            tot = int(cum[-1])
+            rep = (
+                np.exp2(g["e"].to_numpy(np.float64))
+                * (1.0 + g["j"].to_numpy(np.float64) / QSK_SUB)
+                / 100.0
+            )  # lower bin bound, back in value units
+            row = {key_col: k}
+            for q in qs:
+                rank = int(np.ceil(q * tot))
+                row[f"p{int(q * 100)}"] = float(
+                    rep[np.searchsorted(cum, rank, side="left")]
+                )
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(estimate, batch_format="pandas")
+    )

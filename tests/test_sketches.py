@@ -58,3 +58,52 @@ def test_hll_small_range_exactish(ray_session):
                        "id": np.arange(50, dtype=np.int64).repeat(2)})
     got = hll_distinct(ray.data.from_pandas(df), "key", "id").to_pandas()
     assert abs(int(got["est"].iloc[0]) - 50) <= 2
+
+
+# ------------------------------- log-histogram quantile sketch
+
+
+def _qfixture(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "key": rng.choice(["a", "b", "c"], 5000),
+        "value": np.round(rng.lognormal(3.0, 1.2, 5000), 2) + 0.01,
+    })
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """Estimate is the lower bin bound: est <= true < est*(1+1/32)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.sketches import (
+        log_histogram_quantiles,
+    )
+
+    df = _qfixture(3)
+    got = (
+        log_histogram_quantiles(
+            ray.data.from_pandas(df).repartition(4), "key", "value"
+        )
+        .to_pandas().set_index("key")
+    )
+    for k, grp in df.groupby("key"):
+        v = np.sort(np.floor(grp["value"].to_numpy() * 100 + 0.5) / 100.0)
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            true = v[int(np.ceil(q * len(v))) - 1]
+            est = got.loc[k, col]
+            assert est <= true + 1e-9, (k, col, est, true)
+            assert true < est * (1 + 1 / 32) + 0.02, (k, col, est, true)
+
+
+def test_quantile_sketch_partition_invariant(ray_session):
+    """Bin counts merge by addition: identical output for any split."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.sketches import (
+        log_histogram_quantiles,
+    )
+
+    df = _qfixture(11)
+    outs = [
+        log_histogram_quantiles(
+            ray.data.from_pandas(df).repartition(p), "key", "value"
+        ).to_pandas().sort_values("key").reset_index(drop=True)
+        for p in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
