@@ -47,8 +47,9 @@ def broadcast_join(
     right_columns: list[str],
     right_key: str | None = None,
     max_per_shard: int = BROADCAST_SHARD_ROWS,
+    how: str = "inner",
 ) -> Dataset:
-    """Inner equi-join of a big Dataset against a SMALL dimension table
+    """Equi-join of a big Dataset against a SMALL dimension table
     (metadata enrichment: orders x customer, events x user profile) with
     NO shuffle of the big side — the most common pipeline step a
     groupby-based join would turn into a needless all-to-all exchange.
@@ -68,11 +69,15 @@ def broadcast_join(
     false match; two right keys sharing a hash raise loudly at build)
     and must be UNIQUE on the right (dimension contract; duplicate
     right keys raise); ``right_key`` names the right side's key column
-    when it differs (o_custkey vs c_custkey). Left rows with no match
-    are dropped (inner join). Right columns are appended after the left
-    columns; name collisions raise."""
+    when it differs (o_custkey vs c_custkey). ``how="inner"`` (default)
+    drops left rows with no match; ``how="left"`` keeps them with real
+    SQL NULLs in the right columns (Arrow null-masked arrays, no
+    sentinels). Right columns are appended after the left columns; name
+    collisions raise."""
     import ray as _ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join how={how!r}")
     rk = right_key or key
     rt = small_right.select_columns([rk] + list(right_columns)).to_pandas()
     rkeys_raw = rt[rk].to_numpy()
@@ -165,31 +170,108 @@ def broadcast_join(
             hit[idx[ok]] = True
             gather[idx[ok]] = pos[ok]
             shard_id[idx[ok]] = s
-        out = t.filter(pa.array(hit))
-        h_gather = gather[hit]
-        h_shard = shard_id[hit]
-        if str_key and out.num_rows:
+        if str_key and hit.any():
             # exact verify: a hash match against a DIFFERENT string is a
-            # collision-induced false hit — drop it (misses impossible:
-            # build raised on right-side hash dups)
-            ver = np.empty(out.num_rows, object)
-            for s in np.unique(h_shard):
-                m = h_shard == s
-                ver[m] = shards[int(s)]["__bj_key_str"][h_gather[m]]
-            ok = np.asarray(k_raw, dtype=object)[hit] == ver
-            if not ok.all():
-                out = out.filter(pa.array(ok))
-                h_gather = h_gather[ok]
-                h_shard = h_shard[ok]
+            # collision-induced false hit — demote it to a miss (misses
+            # impossible otherwise: build raised on right-side hash dups)
+            hidx = np.flatnonzero(hit)
+            ver = np.empty(len(hidx), object)
+            hs, hg = shard_id[hidx], gather[hidx]
+            for s in np.unique(hs):
+                m = hs == s
+                ver[m] = shards[int(s)]["__bj_key_str"][hg[m]]
+            bad = np.asarray(k_raw, dtype=object)[hidx] != ver
+            hit[hidx[bad]] = False
+        if how == "inner":
+            out = t.filter(pa.array(hit))
+            h_gather = gather[hit]
+            h_shard = shard_id[hit]
+            null_mask = None
+        else:
+            # left join: every row survives; misses get Arrow nulls
+            out = t
+            h_gather = gather
+            h_shard = shard_id
+            null_mask = ~hit
+        # gather only at HIT positions (a missed row's shard_id may name
+        # a shard this task never fetched); misses sit under the null
+        # mask in left mode and were filtered out in inner mode
+        hit_rows = (
+            np.flatnonzero(hit) if null_mask is not None
+            else np.arange(out.num_rows, dtype=np.int64)
+        )
+        hs, hg = h_shard[hit_rows], h_gather[hit_rows]
         for c in right_columns:
-            col = np.empty(out.num_rows, dtype=rdtypes[c])
-            for s in np.unique(h_shard):
-                m = h_shard == s
-                col[m] = shards[int(s)][c][h_gather[m]]
-            out = out.append_column(c, pa.array(col, type=rtypes[c]))
+            col = np.zeros(out.num_rows, dtype=rdtypes[c])
+            for s in np.unique(hs):
+                m = hs == s
+                col[hit_rows[m]] = shards[int(s)][c][hg[m]]
+            out = out.append_column(
+                c, pa.array(col, type=rtypes[c], mask=null_mask)
+            )
         return out
 
     return left.map_batches(probe, batch_format="pyarrow")
+
+
+def _bloom_probe_positions(
+    keys: np.ndarray, n_bits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two stable probe positions per key (the 64-bit hash's low and
+    high halves mod the bitmap size — independent enough at the 2-probe
+    false-positive rates this prefilter targets)."""
+    if not np.issubdtype(keys.dtype, np.integer):
+        keys = np.asarray(keys, dtype=object)
+    h = pd.util.hash_array(keys, categorize=False)
+    m = np.uint64(n_bits)
+    return (h % m).astype(np.int64), ((h >> np.uint64(32)) % m).astype(
+        np.int64
+    )
+
+
+def _bloom_filter_left(
+    left: Dataset, right: Dataset, key: str, rk: str, n_bits: int
+) -> Dataset:
+    """Build a Bloom bitmap of the right side's keys (per-batch packed
+    partials OR'd on the driver) and drop left rows that provably have
+    no match. 2 probes, no false negatives."""
+    import ray as _ray
+
+    n_words = -(-n_bits // 64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        k = t[rk].to_numpy(zero_copy_only=False)
+        if len(k):
+            for pos in _bloom_probe_positions(k, n_bits):
+                np.bitwise_or.at(
+                    words, pos // 64,
+                    np.uint64(1) << (pos % 64).astype(np.uint64),
+                )
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
+
+    bitmap = np.zeros(n_words, np.uint64)
+    for part in right.select_columns([rk]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        bitmap |= np.frombuffer(part["bloom"], np.uint64)
+    ref = _ray.put(bitmap)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bm = _ray.get(ref)
+        k = t[key].to_numpy(zero_copy_only=False)
+        p1, p2 = _bloom_probe_positions(k, n_bits)
+        one = np.uint64(1)
+        hit = (
+            (bm[p1 // 64] >> (p1 % 64).astype(np.uint64)) & one
+        ).astype(bool) & (
+            (bm[p2 // 64] >> (p2 % 64).astype(np.uint64)) & one
+        ).astype(bool)
+        return t.filter(pa.array(hit))
+
+    return left.map_batches(keep, batch_format="pyarrow")
 
 
 def hash_join(
@@ -201,6 +283,8 @@ def hash_join(
     n_buckets: int = 64,
     how: str = "inner",
     n_salt: int = 1,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> Dataset:
     """Equi-join of two LARGE Datasets — the shuffle counterpart of
     ``broadcast_join`` for when neither side is dimension-sized
@@ -249,7 +333,21 @@ def hash_join(
     one sorted vocab, so the probe is the identical int searchsorted
     path with exact string equality (no hash false positives). Right
     keys may repeat (many-to-many expands). Right columns are appended
-    after the left columns; collisions raise."""
+    after the left columns; collisions raise.
+
+    ``bloom_prefilter=True`` (inner/semi only — the modes where an
+    unmatched left row contributes nothing) drops left rows whose key
+    is provably absent from the right side BEFORE the exchange: one
+    extra pass over the right KEY column builds per-batch
+    ``bloom_bits``-bit bitmap partials that OR together (driver sees
+    blocks x bits/8 bytes, independent of key cardinality; the OR is a
+    tree-reducible upgrade at extreme block counts), the bitmap is
+    ``ray.put`` once, and every left batch tests 2 hash probes per row.
+    No false negatives (a dropped row truly had no match); false
+    positives just ride the exchange as before. The win: for a
+    selective join (most left keys unmatched — log enrichment against
+    a curated subset), the LEFT side's shuffle volume shrinks by the
+    miss rate."""
     from ..mining_core import _range_gather
     from ..stages.exchange import static_cogroup_exchange
     from ..stages.stars import _stable_bucket
@@ -265,12 +363,20 @@ def hash_join(
             "unmatched-right detection is per-bucket and replicated "
             "right rows would be emitted once per salt"
         )
+    if bloom_prefilter and how not in ("inner", "semi"):
+        raise ValueError(
+            f"hash_join bloom_prefilter requires how='inner'/'semi' "
+            f"(how={how!r} must keep unmatched left rows)"
+        )
     if how in ("semi", "anti"):
         right_columns = []  # membership only: don't ship right payload
     rk = right_key or key
     right = right.select_columns(
         list(dict.fromkeys([rk] + list(right_columns)))
     )
+
+    if bloom_prefilter:
+        left = _bloom_filter_left(left, right, key, rk, int(bloom_bits))
 
     def add_bucket(col: str, replicate: bool):
         def fn(t: pa.Table) -> pa.Table:

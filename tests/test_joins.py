@@ -488,3 +488,101 @@ def test_hash_join_salted_hot_key(ray_session, how):
             key="k", right_key="rk", right_columns=["rv"],
             how="full", n_salt=2,
         )
+
+
+def test_broadcast_join_left_outer(ray_session):
+    """how='left': unmatched big-side rows survive with real Arrow
+    NULLs in the right columns, for both int and string keys."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        broadcast_join,
+    )
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": np.array([1, 2, 99, 3], np.int64),
+        "v": [10.0, 20.0, 990.0, 30.0],
+    })).repartition(2)
+    right = ray.data.from_pandas(pd.DataFrame({
+        "rk": np.array([1, 2, 3], np.int64),
+        "name": ["a", "b", "c"],
+        "grp": np.array([100, 200, 300], np.int64),
+    }))
+    out = broadcast_join(
+        left, right, key="k", right_columns=["name", "grp"],
+        right_key="rk", how="left", max_per_shard=2,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 99]
+    assert out["name"].tolist()[:3] == ["a", "b", "c"]
+    assert pd.isna(out["name"].iloc[3])
+    assert pd.isna(out["grp"].iloc[3])
+    assert out["grp"].iloc[:3].tolist() == [100, 200, 300]
+
+    # string keys: the hash-verify miss path must also null, not drop
+    sleft = ray.data.from_pandas(pd.DataFrame({
+        "src": ["cc", "nope", "wiki"], "v": [1.0, 2.0, 3.0]}))
+    sright = ray.data.from_pandas(pd.DataFrame({
+        "source": ["cc", "wiki"], "tier": np.array([0, 1], np.int64)}))
+    got = broadcast_join(
+        sleft, sright, key="src", right_columns=["tier"],
+        right_key="source", how="left",
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert got["src"].tolist() == ["cc", "nope", "wiki"]
+    assert got["tier"].iloc[0] == 0 and got["tier"].iloc[2] == 1
+    assert pd.isna(got["tier"].iloc[1])
+
+    with pytest.raises(ValueError, match="how"):
+        broadcast_join(sleft, sright, key="src", right_columns=["tier"],
+                       right_key="source", how="full")
+
+
+@pytest.mark.parametrize("how", ["inner", "semi"])
+def test_hash_join_bloom_prefilter(ray_session, how):
+    """Bloom prefilter: identical results to the plain join (no false
+    negatives) on a selective join where most left keys are unmatched;
+    unsupported modes reject loudly."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 100_000, 3000).astype(np.int64),
+        "lv": np.arange(3000, dtype=np.int64),
+    })
+    right = pd.DataFrame({  # tiny curated subset: ~97% left miss rate
+        "rk": rng.integers(0, 100_000, 80).astype(np.int64),
+        "rv": np.arange(80, dtype=np.int64),
+    })
+
+    def run(bloom):
+        cols = [] if how == "semi" else ["rv"]
+        out = hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            key="k", right_key="rk", right_columns=cols,
+            how=how, n_buckets=8, bloom_prefilter=bloom,
+            bloom_bits=1 << 12,
+        ).to_pandas()
+        sort_cols = [c for c in ("k", "lv", "rv") if c in out.columns]
+        return out.sort_values(sort_cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(False), run(True))
+
+    # string keys through the same bloom path
+    sl = pd.DataFrame({"k": [f"u{i}" for i in range(500)],
+                       "lv": np.arange(500, dtype=np.int64)})
+    sr = pd.DataFrame({"rk": ["u3", "u77", "u411", "zzz"],
+                       "rv": np.arange(4, dtype=np.int64)})
+    cols = [] if how == "semi" else ["rv"]
+    a = hash_join(ray.data.from_pandas(sl), ray.data.from_pandas(sr),
+                  key="k", right_key="rk", right_columns=cols, how=how,
+                  bloom_prefilter=True).to_pandas().sort_values("lv")
+    b = hash_join(ray.data.from_pandas(sl), ray.data.from_pandas(sr),
+                  key="k", right_key="rk", right_columns=cols,
+                  how=how).to_pandas().sort_values("lv")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    with pytest.raises(ValueError, match="bloom"):
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                  key="k", right_key="rk", right_columns=["rv"],
+                  how="left", bloom_prefilter=True)
