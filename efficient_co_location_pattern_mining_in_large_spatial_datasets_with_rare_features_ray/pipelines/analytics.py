@@ -886,3 +886,52 @@ FROM r GROUP BY event_type"""
 
 ANALYTICS_QUERIES["events_value_quantiles"] = q_events_value_quantiles
 ANALYTICS_SQL["events_value_quantiles"] = SQL_EVENTS_VALUE_QUANTILES
+
+
+# ------------------------------------ Count-Min frequency sketch query
+
+CM_QUERY_USERS = list(range(20))  # fixed query set: user ids 0..19
+
+
+def q_events_user_cm(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-user event counts for a fixed query set via the
+    mergeable Count-Min sketch (pipelines/sketches.py): <= 4 x 2048
+    cells move regardless of user cardinality, and the md5 placement
+    lets the SQL oracle restate the exact same sketch — a hash-exact
+    oracle for an approximate operator (overestimate-only error is
+    separately bound-tested)."""
+    import ray.data
+
+    from .sketches import cm_frequencies
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    out = cm_frequencies(ev, "user_id", [str(u) for u in CM_QUERY_USERS])
+    return pd.DataFrame({
+        "user_id": np.array(CM_QUERY_USERS, np.int64),
+        "est": out["est"].to_numpy(np.int64),
+    })
+
+
+_CM_POS = ("CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || '|' || "
+           "CAST({k} AS VARCHAR)), 1, 8)) AS UBIGINT) % 2048")
+
+SQL_EVENTS_USER_CM = f"""WITH pos AS (
+  SELECT t.r, {_CM_POS.format(r='t.r', k='user_id')} AS p
+  FROM events, range(4) t(r)
+), cells AS (
+  SELECT r, p, COUNT(*) AS n FROM pos GROUP BY r, p
+), q AS (
+  SELECT u.user_id, t.r,
+         {_CM_POS.format(r='t.r', k='u.user_id')} AS p
+  FROM range(20) u(user_id), range(4) t(r)
+)
+SELECT q.user_id,
+       CAST(MIN(COALESCE(cells.n, 0)) AS BIGINT) AS est
+FROM q LEFT JOIN cells ON q.r = cells.r AND q.p = cells.p
+GROUP BY q.user_id"""
+
+
+ANALYTICS_QUERIES["events_user_cm"] = q_events_user_cm
+ANALYTICS_SQL["events_user_cm"] = SQL_EVENTS_USER_CM

@@ -161,3 +161,79 @@ def log_histogram_quantiles(
         .groupby(key_col)
         .map_groups(estimate, batch_format="pandas")
     )
+
+
+# ---------------------------------- Count-Min frequency sketch
+
+CM_D = 4     # hash rows: P(overestimate > bound) <= 2^-4 per query
+CM_W = 2048  # columns per row: expected collision mass <= N / 2048
+
+
+def _cm_positions(keys: list[str]) -> np.ndarray:
+    """(len(keys), CM_D) int64 position matrix. md5 (not a faster
+    non-crypto hash) deliberately, so the DuckDB oracle can restate the
+    exact same placement (the sampling/fingerprint family's idiom)."""
+    import hashlib
+
+    out = np.empty((len(keys), CM_D), np.int64)
+    for i, k in enumerate(keys):
+        for r in range(CM_D):
+            h = hashlib.md5(f"{r}|{k}".encode("utf-8")).hexdigest()[:8]
+            out[i, r] = int(h, 16) % CM_W
+    return out
+
+
+def cm_frequencies(
+    ds: Dataset, key_col: str, query_keys: list[str]
+) -> pd.DataFrame:
+    """Approximate per-key occurrence counts via a mergeable Count-Min
+    sketch: per-batch partials hash only the batch's DISTINCT keys
+    (md5 per distinct value, counts vectorized), emit <= CM_D x
+    distinct (row, position, n) rows, and the sketch merges by ADDITION
+    through one tiny keyed exchange — never more than CM_D x CM_W
+    (8192) cells total, independent of key cardinality. Estimates for
+    the (small, fixed) ``query_keys`` read the merged sketch on the
+    driver: est(k) = min over rows of the k-cell — an OVERestimate
+    only (collisions add, never subtract), with expected excess
+    <= CM_D'th-order N/CM_W. The scale path for heavy-hitter frequency
+    beside the exact top-k operators (token_topk/docs_topk_per_source).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key_col].astype(str).value_counts()
+        if not len(vc):
+            return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                                 "p": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pos = _cm_positions(list(vc.index))  # (distinct, CM_D)
+        n = vc.to_numpy(np.int64)
+        out = (
+            pd.DataFrame({
+                "r": np.tile(np.arange(CM_D, dtype=np.int64), len(n)),
+                "p": pos.reshape(-1),
+                "n": np.repeat(n, CM_D),
+            })
+            .groupby(["r", "p"], sort=False).sum().reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["r", "p"], sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["r", "p"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # sketch-sized: <= CM_D x CM_W rows
+    )
+    table = np.zeros((CM_D, CM_W), np.int64)
+    table[cells["r"].to_numpy(np.int64), cells["p"].to_numpy(np.int64)] = (
+        cells["n"].to_numpy(np.int64)
+    )
+    qpos = _cm_positions([str(k) for k in query_keys])
+    est = table[np.arange(CM_D), qpos].min(axis=1)
+    return pd.DataFrame({key_col: list(query_keys),
+                         "est": est.astype(np.int64)})

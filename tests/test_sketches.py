@@ -107,3 +107,48 @@ def test_quantile_sketch_partition_invariant(ray_session):
         for p in (1, 7)
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ----------------------------------- Count-Min frequency sketch
+
+
+def test_cm_overestimate_only_and_bounded(ray_session):
+    """CM never underestimates, and the excess stays within a loose
+    multiple of the expected collision mass N/W."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.sketches import (
+        CM_W,
+        cm_frequencies,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 20000).astype(np.int64) % 500
+    df = pd.DataFrame({"k": keys.astype(str)})
+    qs = [str(i) for i in range(25)]
+    got = cm_frequencies(
+        ray.data.from_pandas(df).repartition(5), "k", qs
+    ).set_index("k")["est"]
+    exact = df["k"].value_counts()
+    n = len(df)
+    for q in qs:
+        true = int(exact.get(q, 0))
+        est = int(got[q])
+        assert est >= true, (q, est, true)
+        assert est - true <= 8 * n // CM_W + 4, (q, est, true)
+
+
+def test_cm_partition_invariant(ray_session):
+    """Cells merge by addition: identical estimates for any split."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.sketches import (
+        cm_frequencies,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.integers(0, 200, 5000).astype(str)})
+    qs = [str(i) for i in range(10)]
+    outs = [
+        cm_frequencies(
+            ray.data.from_pandas(df).repartition(p), "k", qs
+        )
+        for p in (1, 6)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
