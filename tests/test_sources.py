@@ -87,3 +87,47 @@ def test_report_sink(ray_session, tmp_path):
     import glob
 
     assert glob.glob(os.path.join(out, "patterns", "*.parquet"))
+
+
+def test_read_documents_jsonl(ray_session, tmp_path):
+    """JSONL ingest: multi-shard + gzip shards read into the same
+    documents-shaped Dataset the parquet path yields, with projection
+    applied right after parse."""
+    import gzip
+    import json
+
+    import pandas as pd
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.sources.jsonl import (
+        read_documents_jsonl,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(60)
+    recs = docs.to_dict("records")
+    p1 = tmp_path / "shard-000.jsonl"
+    p2 = tmp_path / "shard-001.jsonl.gz"
+    with open(p1, "w") as f:
+        for r in recs[:30]:
+            f.write(json.dumps(r) + "\n")
+    with gzip.open(p2, "wt") as f:
+        for r in recs[30:]:
+            f.write(json.dumps(r) + "\n")
+
+    got = (
+        read_documents_jsonl(str(tmp_path), columns=["doc_id", "text", "source"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = docs[["doc_id", "text", "source"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the JSONL rows feed the existing pipelines unchanged
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.dedup import (
+        exact_dedup,
+    )
+
+    ds = read_documents_jsonl(str(p1), columns=["doc_id", "text"])
+    assert exact_dedup(ds).count() <= 30
