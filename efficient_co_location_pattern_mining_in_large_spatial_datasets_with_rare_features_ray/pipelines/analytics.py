@@ -595,10 +595,13 @@ def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
     accumulate in INTEGER units (cents, 1e-4 and 1e-6 dollars), so the
     result is order-independent and hash-exact vs SQL, and every
     published float is ONE IEEE division of exact ints (bit-identical
-    on both sides). int64 headroom: per-row charge units are < 1e11;
-    a >= 1e7-row block or a >= 1e18 global sum would need the merge to
-    promote to Python ints (arbitrary precision) -- the merge table is
-    aggregate-sized, so that promotion costs nothing at any scale."""
+    on both sides). int64 headroom: per-row charge units are < 1e11, so
+    a block stays exact to ~7e7 rows and the global sum to ~9e16 rows
+    per group; beyond that this kernel would overflow int64 silently --
+    the upgrade is decimal128 partials (Arrow carries them natively) or
+    splitting the sum into (quotient, remainder) columns, NOT
+    implemented here because the sandbox inputs sit 10 orders below the
+    edge."""
     import ray.data
 
     li = ray.data.read_parquet(
@@ -803,8 +806,9 @@ def q_doc_scrub(sf_dir: str) -> Dataset:
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             s = df["text"].astype(str)
-            n_hits = s.str.count(self.pat.pattern).astype(np.int64)
-            clean = s.str.replace(self.pat.pattern, "", regex=True)
+            # the COMPILED pattern, so no per-call re-resolution
+            n_hits = s.str.count(self.pat).astype(np.int64)
+            clean = s.str.replace(self.pat, "", regex=True)
             return pd.DataFrame({
                 "doc_id": df["doc_id"].astype(np.int64),
                 "n_redacted": n_hits,
@@ -854,9 +858,13 @@ def q_events_value_quantiles(sf_dir: str) -> Dataset:
 
 
 def _qsk_rep(q: str) -> str:
-    return (f"MIN(CASE WHEN cum >= CEIL({q} * tot) THEN "
-            "POW(2.0, e) * (1.0 + j / 32.0) / 100.0 END)")
+    from .sketches import QSK_SUB
 
+    return (f"MIN(CASE WHEN cum >= CEIL({q} * tot) THEN "
+            f"POW(2.0, e) * (1.0 + j / {QSK_SUB}.0) / 100.0 END)")
+
+
+from .sketches import QSK_SUB as _QSK_SUB  # noqa: E402
 
 SQL_EVENTS_VALUE_QUANTILES = f"""WITH c AS (
   SELECT event_type,
@@ -867,7 +875,7 @@ SQL_EVENTS_VALUE_QUANTILES = f"""WITH c AS (
   FROM c
 ), bins AS (
   SELECT event_type, e,
-         CAST(FLOOR((v_c - POW(2.0, e)) * 32 / POW(2.0, e)) AS BIGINT) AS j,
+         CAST(FLOOR((v_c - POW(2.0, e)) * {_QSK_SUB} / POW(2.0, e)) AS BIGINT) AS j,
          COUNT(*) AS n
   FROM b GROUP BY event_type, e, j
 ), r AS (
@@ -914,18 +922,20 @@ def q_events_user_cm(sf_dir: str) -> pd.DataFrame:
     })
 
 
+from .sketches import CM_D as _CM_D, CM_W as _CM_W  # noqa: E402
+
 _CM_POS = ("CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || '|' || "
-           "CAST({k} AS VARCHAR)), 1, 8)) AS UBIGINT) % 2048")
+           "CAST({k} AS VARCHAR)), 1, 8)) AS UBIGINT) % " + str(_CM_W))
 
 SQL_EVENTS_USER_CM = f"""WITH pos AS (
   SELECT t.r, {_CM_POS.format(r='t.r', k='user_id')} AS p
-  FROM events, range(4) t(r)
+  FROM events, range({_CM_D}) t(r)
 ), cells AS (
   SELECT r, p, COUNT(*) AS n FROM pos GROUP BY r, p
 ), q AS (
   SELECT u.user_id, t.r,
          {_CM_POS.format(r='t.r', k='u.user_id')} AS p
-  FROM range(20) u(user_id), range(4) t(r)
+  FROM range({len(CM_QUERY_USERS)}) u(user_id), range({_CM_D}) t(r)
 )
 SELECT q.user_id,
        CAST(MIN(COALESCE(cells.n, 0)) AS BIGINT) AS est

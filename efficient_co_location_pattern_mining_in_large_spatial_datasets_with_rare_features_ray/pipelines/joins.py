@@ -82,6 +82,14 @@ def broadcast_join(
     rt = small_right.select_columns([rk] + list(right_columns)).to_pandas()
     rkeys_raw = rt[rk].to_numpy()
     str_key = not np.issubdtype(rkeys_raw.dtype, np.integer)
+    if str_key and rkeys_raw.dtype != object:
+        # a float key column is usually an int key that picked up NULLs
+        # on the way in (parquet promotes) — reject loudly rather than
+        # join on float/object equality and mask the upstream data bug
+        raise TypeError(
+            f"broadcast_join key {key!r} must be integer- or "
+            f"string-typed (right side is {rkeys_raw.dtype})"
+        )
     if str_key:
         # probe on the stable hash; keep the strings for the verify
         rkeys = pd.util.hash_array(
@@ -137,10 +145,10 @@ def broadcast_join(
                 raise ValueError(f"column collision in broadcast_join: {c!r}")
         k_raw = t[key].to_numpy(zero_copy_only=False)
         if str_key:
-            if np.issubdtype(k_raw.dtype, np.integer):
+            if k_raw.dtype != object:
                 raise TypeError(
                     f"broadcast_join key dtype mismatch on {key!r}: "
-                    "left integer vs right string"
+                    f"left {k_raw.dtype} vs right string"
                 )
             k = pd.util.hash_array(
                 np.asarray(k_raw, dtype=object), categorize=False
@@ -219,8 +227,12 @@ def _bloom_probe_positions(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Two stable probe positions per key (the 64-bit hash's low and
     high halves mod the bitmap size — independent enough at the 2-probe
-    false-positive rates this prefilter targets)."""
-    if not np.issubdtype(keys.dtype, np.integer):
+    false-positive rates this prefilter targets). Integer keys widen to
+    int64 first: hash_array hashes the raw byte width, and the two join
+    sides may carry the same key at different widths."""
+    if np.issubdtype(keys.dtype, np.integer):
+        keys = keys.astype(np.int64, copy=False)
+    else:
         keys = np.asarray(keys, dtype=object)
     h = pd.util.hash_array(keys, categorize=False)
     m = np.uint64(n_bits)
@@ -368,6 +380,8 @@ def hash_join(
             f"hash_join bloom_prefilter requires how='inner'/'semi' "
             f"(how={how!r} must keep unmatched left rows)"
         )
+    if bloom_prefilter and int(bloom_bits) < 64:
+        raise ValueError(f"hash_join bloom_bits={bloom_bits} (< 64)")
     if how in ("semi", "anti"):
         right_columns = []  # membership only: don't ship right payload
     rk = right_key or key

@@ -41,9 +41,14 @@ from ..config import MiningConfig
 def _stable_bucket(keys, n_buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket (pandas hash_array uses a
     fixed key; python's hash() is salted per process and must not be
-    used). Integer keys take the vectorized int64 fast path."""
+    used). Integer keys take the vectorized int64 fast path — WIDENED
+    to int64 first, because hash_array hashes the raw byte width (int32
+    -5 and int64 -5 hash differently), and a join's two sides may carry
+    the same key at different widths."""
     arr = keys.to_numpy() if isinstance(keys, pd.Series) else np.asarray(keys)
-    if not np.issubdtype(arr.dtype, np.integer):
+    if np.issubdtype(arr.dtype, np.integer):
+        arr = arr.astype(np.int64, copy=False)
+    else:
         arr = np.asarray(arr, dtype=object)
     return (
         pd.util.hash_array(arr, categorize=False) % np.uint64(n_buckets)

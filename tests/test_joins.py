@@ -164,14 +164,23 @@ def test_broadcast_join_string_keys(ray_session):
         broadcast_join(left, dup, key="src",
                        right_columns=["tier", "label"], right_key="source")
 
-    # left integer vs right string key is a loud error, not a silent miss
+    # left integer vs right string key is a loud error, not a silent
+    # miss (the mismatch surfaces from inside Ray tasks, so match on
+    # the message text rather than the wrapped exception type)
     ileft = ray.data.from_pandas(pd.DataFrame(
         {"src": np.array([1, 2], np.int64), "v": [1.0, 2.0]}))
-    with pytest.raises((TypeError, Exception)):
+    with pytest.raises(Exception, match="dtype mismatch"):
         broadcast_join(
             ileft, right, key="src", right_columns=["tier"],
             right_key="source",
         ).to_pandas()
+
+    # float keys (an int key column that picked up NULLs) reject loudly
+    fright = ray.data.from_pandas(pd.DataFrame(
+        {"source": [1.5, 2.5], "tier": np.array([0, 1], np.int64)}))
+    with pytest.raises(TypeError, match="integer- or"):
+        broadcast_join(left, fright, key="src",
+                       right_columns=["tier"], right_key="source")
 
 
 @pytest.mark.parametrize("seed", [11, 42])
@@ -586,3 +595,37 @@ def test_hash_join_bloom_prefilter(ray_session, how):
         hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                   key="k", right_key="rk", right_columns=["rv"],
                   how="left", bloom_prefilter=True)
+
+
+def test_hash_join_mixed_int_widths_negative_keys(ray_session):
+    """int32 left vs int64 right with negative keys: the bucket hash
+    widens to int64 first, so the same key value always meets itself
+    (hash_array hashes raw byte width — unwidened, int32 -5 and int64
+    -5 would land in different buckets and silently drop matches)."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.joins import (
+        hash_join,
+    )
+
+    left = pd.DataFrame({
+        "k": np.array([-5, -1, 3, -7, 2], np.int32),
+        "lv": np.arange(5, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": np.array([-5, -7, 2, 9], np.int64),
+        "rv": np.arange(4, dtype=np.int64),
+    })
+    got = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", right_key="rk", right_columns=["rv"],
+        n_buckets=8,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert got["k"].tolist() == [-5, -7, 2]
+    assert got["rv"].tolist() == [0, 1, 2]
+
+    # and through the bloom prefilter (same widening in the probe hash)
+    got_b = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", right_key="rk", right_columns=["rv"],
+        n_buckets=8, bloom_prefilter=True,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got_b)
