@@ -2097,8 +2097,124 @@ JOIN norms nb ON nb.vec_id = d.b
 WHERE d.dot / (na.nrm * nb.nrm) >= {NEARDUP_TAU}"""
 
 
+
+
+DBSCAN_EPS = 4.0
+DBSCAN_MIN_PTS = 4  # |eps-neighborhood| including the point itself
+
+
+def q_dbscan(sf_dir: str) -> Dataset:
+    """Distributed grid-based DBSCAN over the deterministic spatial
+    projection of events (INT ids — the component machinery's
+    contract): (instance_id, cluster, is_core), cluster = the
+    component's smallest core id, border points adopt the min cluster
+    among their core neighbors, noise = -1
+    (stages/spatial_ops.dbscan; pairs via the mining grid join with
+    cross_type=False, components via the corpus min-label
+    propagation)."""
+    import numpy as np
+    import ray.data
+
+    from ..sources.instances import (
+        EVENTS_EXTENT,
+        EVENTS_XMUL,
+        EVENTS_YMUL_EVENT,
+        EVENTS_YMUL_USER,
+    )
+    from ..stages.spatial_ops import dbscan
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        return pa.table({
+            "instance_id": pa.array(eid.astype(np.int64)),
+            "feature": t["event_type"],
+            "x": pa.array(((eid * EVENTS_XMUL) % EVENTS_EXTENT)
+                          .astype(np.float64)),
+            "y": pa.array(
+                ((eid * EVENTS_YMUL_EVENT + uid * EVENTS_YMUL_USER)
+                 % EVENTS_EXTENT).astype(np.float64)),
+        })
+
+    inst = ev.map_batches(project, batch_format="pyarrow")
+    return dbscan(inst, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+def _sql_dbscan() -> str:
+    d = DBSCAN_EPS
+    mp = DBSCAN_MIN_PTS
+    return f"""WITH RECURSIVE i2 AS MATERIALIZED (
+  SELECT CAST(event_id AS BIGINT) AS id,
+         CAST((event_id * {{XM}}) % {{EX}} AS DOUBLE) AS x,
+         CAST((event_id * {{YME}} + user_id * {{YMU}}) % {{EX}} AS DOUBLE) AS y
+  FROM events
+), dpairs AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b FROM i2 a JOIN i2 b
+    ON b.x >= a.x - {d} AND b.x <= a.x + {d}
+   AND b.y >= a.y - {d} AND b.y <= a.y + {d}
+   AND a.id < b.id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {d * d}
+), deg AS MATERIALIZED (
+  SELECT n, COUNT(*) AS c
+  FROM (SELECT a AS n FROM dpairs UNION ALL SELECT b FROM dpairs)
+  GROUP BY n
+), core AS MATERIALIZED (SELECT n FROM deg WHERE c + 1 >= {mp}),
+cc AS MATERIALIZED (
+  SELECT a, b FROM dpairs
+  WHERE a IN (SELECT n FROM core) AND b IN (SELECT n FROM core)
+),
+nodes AS (SELECT a AS n FROM cc UNION SELECT b FROM cc),
+cedges AS (SELECT a AS s, b AS d FROM cc UNION ALL SELECT b, a FROM cc),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN cedges e ON e.s = r.dst
+),
+roots AS (SELECT src AS n, MIN(dst) AS root FROM reach GROUP BY src),
+clab AS (  -- every core's cluster; isolated cores self-root
+  SELECT c.n, COALESCE(r.root, c.n) AS cluster
+  FROM core c LEFT JOIN roots r ON r.n = c.n
+),
+heard AS (  -- min core-neighbor cluster per node (either direction)
+  SELECT e.node, MIN(cl.cluster) AS cluster
+  FROM (SELECT a AS node, b AS nbr FROM dpairs
+        UNION ALL SELECT b, a FROM dpairs) e
+  JOIN clab cl ON cl.n = e.nbr
+  GROUP BY e.node
+)
+SELECT i2.id AS instance_id,
+       CAST(COALESCE(cl.cluster, h.cluster, -1) AS BIGINT) AS cluster,
+       cl.n IS NOT NULL AS is_core
+FROM i2
+LEFT JOIN clab cl ON cl.n = i2.id
+LEFT JOIN heard h ON h.node = i2.id"""
+
+
+def sql_dbscan() -> str:
+    from ..sources.instances import (
+        EVENTS_EXTENT,
+        EVENTS_XMUL,
+        EVENTS_YMUL_EVENT,
+        EVENTS_YMUL_USER,
+    )
+
+    return (
+        _sql_dbscan()
+        .replace("{XM}", str(EVENTS_XMUL))
+        .replace("{EX}", str(EVENTS_EXTENT))
+        .replace("{YME}", str(EVENTS_YMUL_EVENT))
+        .replace("{YMU}", str(EVENTS_YMUL_USER))
+    )
+
+
 SPATIAL_QUERIES = {
     "colo_knn": q_knn,
+    "colo_dbscan": q_dbscan,
     "colo_point_in_polygon": q_pip,
     "colo_rasterize": q_rasterize,
     "colo_raster_boxes": q_raster_boxes,
@@ -2126,6 +2242,7 @@ SPATIAL_SQL = {
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "colo_knn": SQL_KNN,
+    "colo_dbscan": sql_dbscan(),
     "colo_point_in_polygon": SQL_PIP,
     "colo_rasterize": SQL_RASTERIZE,
     "colo_raster_boxes": SQL_RASTER_BOXES,

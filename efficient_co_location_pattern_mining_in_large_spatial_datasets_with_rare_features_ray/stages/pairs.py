@@ -31,7 +31,7 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-def _pair_kernel(t: pa.Table, d: float) -> pa.Table:
+def _pair_kernel(t: pa.Table, d: float, cross_type: bool = True) -> pa.Table:
     """All qualifying pairs within one exchange bucket (home points +
     halo, possibly MANY tiles -- cells are keyed by (tile, cell) so
     co-bucketed tiles cannot see each other's replicas). Fully
@@ -54,13 +54,13 @@ def _pair_kernel(t: pa.Table, d: float) -> pa.Table:
         cx.max() + 4 >= (1 << 22) or cy.max() + 4 >= (1 << 22)
         or cx.min() < -2 or cy.min() < -2
     ):
-        return _pair_kernel_cells(t, d)
+        return _pair_kernel_cells(t, d, cross_type)
     tl = t["tile"].to_numpy(zero_copy_only=False)
     tu, tinv = (np.empty(0, np.int64), np.empty(0, np.int64)) if not n else (
         np.unique(tl, return_inverse=True)
     )
     if len(tu) >= (1 << 18):
-        return _pair_kernel_cells(t, d)
+        return _pair_kernel_cells(t, d, cross_type)
 
     ids = t["instance_id"].to_numpy(zero_copy_only=False)
     feats = t["feature"].to_numpy(zero_copy_only=False)
@@ -150,7 +150,9 @@ def _pair_kernel(t: pa.Table, d: float) -> pa.Table:
     b = np.concatenate(cand_b)
     dx = xs_o[a] - xs_o[b]
     dy = ys_o[a] - ys_o[b]
-    ok = (dx * dx + dy * dy <= d2) & (fcodes[a] != fcodes[b])
+    ok = dx * dx + dy * dy <= d2
+    if cross_type:  # reference semantics; DBSCAN wants all-type pairs
+        ok &= fcodes[a] != fcodes[b]
     a = a[ok]
     b = b[ok]
     if not len(a):
@@ -169,7 +171,7 @@ def _pair_kernel(t: pa.Table, d: float) -> pa.Table:
     )
 
 
-def _pair_kernel_cells(t: pa.Table, d: float) -> pa.Table:
+def _pair_kernel_cells(t: pa.Table, d: float, cross_type: bool = True) -> pa.Table:
     """Per-cell loop fallback (identical semantics to ``_pair_kernel``)
     for inputs whose tile/cell coordinate ranges exceed the packed-key
     bounds."""
@@ -199,7 +201,9 @@ def _pair_kernel_cells(t: pa.Table, d: float) -> pa.Table:
     def emit(ii: np.ndarray, jj: np.ndarray):
         dx = xs[ii] - xs[jj]
         dy = ys[ii] - ys[jj]
-        ok = (dx * dx + dy * dy <= d2) & (feats[ii] != feats[jj])
+        ok = dx * dx + dy * dy <= d2
+        if cross_type:
+            ok &= feats[ii] != feats[jj]
         if ok.any():
             ai.append(ii[ok])
             bi.append(jj[ok])
@@ -250,6 +254,7 @@ def neighbor_pairs(
     instances: Dataset,
     cfg: MiningConfig,
     origin: tuple[float, float] | None = None,
+    cross_type: bool = True,
 ) -> Dataset:
     """instances(instance_id, feature, x, y) -> pairs(a_id, a_feature,
     b_id, b_feature), one row per unordered qualifying pair.
@@ -278,5 +283,5 @@ def neighbor_pairs(
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     return static_group_exchange(
-        ds, "bucket", n_buckets, lambda t: _pair_kernel(t, d)
+        ds, "bucket", n_buckets, lambda t: _pair_kernel(t, d, cross_type)
     )

@@ -348,3 +348,193 @@ def quadkey(cx: np.ndarray, cy: np.ndarray, level: int) -> np.ndarray:
         out |= ((x >> b) & 1) << (2 * b)
         out |= ((y >> b) & 1) << (2 * b + 1)
     return out
+
+
+def dbscan(
+    instances: Dataset,
+    eps: float,
+    min_pts: int,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Distributed grid-based DBSCAN over (instance_id: int64, feature,
+    x, y) points: (instance_id, cluster, is_core) where ``cluster`` is
+    the component's smallest CORE id (deterministic labels, no run
+    dependence), border points adopt the smallest cluster among their
+    core neighbors, and noise gets cluster = -1.
+
+    Ray-Data-first plan — every stage is machinery the engine already
+    scales:
+
+    1. eps-pairs via the mining path's grid distance self-join
+       (stages/pairs.neighbor_pairs with ``cross_type=False`` — DBSCAN
+       ignores feature types), tile+halo partitioning, no all-pairs;
+    2. degrees via per-batch partials -> keyed sum (a point is core iff
+       |eps-neighbors| + 1 >= min_pts, i.e. the point itself counts);
+    3. core-core edges via two bucketed semi-joins (pipelines/
+       joins.hash_join how='semi' — only the key column ships);
+    4. connected components of the core graph via distributed min-label
+       propagation (pipelines/corpus.neardup_components — two bucketed
+       exchanges per round over the core graph only);
+    5. border attachment: one more semi/inner join pass assigns each
+       non-core point the MIN root among its core neighbors.
+
+    Partitioning assumptions: per-tile pair volume is the grid join's
+    (density-bounded); the label-propagation graph is the CORE subgraph
+    (dense blobs collapse to few labels quickly — rounds ~ graph
+    diameter)."""
+    import pyarrow as pa
+
+    from ..pipelines.corpus import neardup_components
+    from ..pipelines.joins import hash_join
+    from ..config import MiningConfig
+
+    cfg = MiningConfig(neighbor_distance=float(eps))
+    pairs = neighbor_pairs_all = None
+    from .pairs import neighbor_pairs
+
+    pairs = neighbor_pairs(instances, cfg, cross_type=False).select_columns(
+        ["a_id", "b_id"]
+    )
+
+    # ids must be int64 (the component machinery's contract)
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    # 2. degrees -> core flags (per-batch partials, one keyed sum)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+        ])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    def deg_merge(df):
+        g = df.groupby("node", sort=False)["deg"].sum().reset_index()
+        g["deg"] = g["deg"].astype(np.int64)
+        return g
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(deg_merge, batch_format="pandas")
+    )
+    core = deg.filter(expr=f"deg >= {int(min_pts) - 1}").select_columns(
+        ["node"]
+    ).materialize()
+
+    if core.count() == 0:
+        # sparse data / high min_pts: no cores -> everything is noise
+        # (a schema-less empty exchange side cannot be co-grouped)
+        def all_noise(t: pa.Table) -> pa.Table:
+            ids = t["instance_id"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            return pa.table({
+                "instance_id": pa.array(ids),
+                "cluster": pa.array(np.full(len(ids), -1, np.int64)),
+                "is_core": pa.array(np.zeros(len(ids), bool)),
+            })
+
+        return instances.select_columns(["instance_id"]).map_batches(
+            all_noise, batch_format="pyarrow"
+        )
+
+    # 3. core-core edges: two semi-joins; only the key column moves
+    cc = hash_join(edges, core, key="a", right_key="node",
+                   right_columns=[], how="semi", n_buckets=n_buckets)
+    cc = hash_join(cc, core, key="b", right_key="node",
+                   right_columns=[], how="semi", n_buckets=n_buckets)
+
+    # 4. components of the core graph (isolated cores self-root below)
+    comp = neardup_components(cc, n_buckets=n_buckets)  # (node, root)
+
+    core_roots = hash_join(
+        core, comp, key="node", right_columns=["root"], how="left",
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda t: pa.table({
+            "core_id": t["node"],
+            "cluster": pa.array(np.where(
+                np.asarray(t["root"].is_null()),
+                t["node"].to_numpy(zero_copy_only=False),
+                t["root"].to_numpy(zero_copy_only=False),
+            ).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # 5. border attachment: directed edges INTO core endpoints carry the
+    # core's cluster to the other endpoint; min per node. Core points
+    # also hear their own cluster (guard below keeps theirs).
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    heard = hash_join(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        core_roots, key="nbr", right_key="core_id",
+        right_columns=["cluster"], how="inner", n_buckets=n_buckets,
+    )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "node": t["node"].to_numpy(zero_copy_only=False),
+            "cluster": t["cluster"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("node", sort=False)["cluster"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    border_lab = (
+        heard.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(
+            lambda df: df.groupby("node", sort=False)["cluster"]
+            .min().reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+    # assemble: every instance LEFT-joins its core label, then its
+    # heard-min label; core keeps its own, border takes the min heard,
+    # the rest are noise (-1)
+    base = instances.select_columns(["instance_id"])
+    lab = hash_join(base, core_roots, key="instance_id",
+                    right_key="core_id", right_columns=["cluster"],
+                    how="left", n_buckets=n_buckets)
+    lab = hash_join(
+        lab.map_batches(
+            lambda t: t.rename_columns(["instance_id", "core_cluster"]),
+            batch_format="pyarrow",
+        ),
+        border_lab, key="instance_id", right_key="node",
+        right_columns=["cluster"], how="left", n_buckets=n_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cc_ = t["core_cluster"].to_numpy(zero_copy_only=False)
+        hb = t["cluster"].to_numpy(zero_copy_only=False)
+        is_core = ~np.asarray(t["core_cluster"].is_null())
+        out = np.where(
+            is_core, np.nan_to_num(cc_, nan=-1),
+            np.where(np.asarray(t["cluster"].is_null()),
+                     -1.0, np.nan_to_num(hb, nan=-1)),
+        ).astype(np.int64)
+        return pa.table({
+            "instance_id": t["instance_id"],
+            "cluster": pa.array(out),
+            "is_core": pa.array(is_core),
+        })
+
+    return lab.map_batches(finish, batch_format="pyarrow")

@@ -2,6 +2,7 @@
 vs a direct check, raster round trip, quadkey hierarchy."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import ray.data
@@ -115,3 +116,98 @@ def test_quadkey_hierarchy():
     assert np.array_equal(q3 >> 2, q2)
     # distinct cells -> distinct keys at sufficient level
     assert len(set(q3.tolist())) == 5
+
+
+# ------------------------------------------------------------- DBSCAN
+
+
+def _dbscan_oracle(df, eps, min_pts):
+    """Brute-force single-process DBSCAN with the engine's label
+    convention: cluster = min core id in the core-core component,
+    border = min cluster among core neighbors, noise = -1."""
+    ids = df["instance_id"].to_numpy(np.int64)
+    x = df["x"].to_numpy(np.float64)
+    y = df["y"].to_numpy(np.float64)
+    n = len(ids)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    adj = (d2 <= eps * eps) & ~np.eye(n, dtype=bool)
+    deg = adj.sum(1)
+    is_core = deg + 1 >= min_pts
+    # union-find over core-core edges
+    parent = {int(i): int(i) for i in ids[is_core]}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.flatnonzero(is_core)
+    for ii in ci:
+        for jj in ci:
+            if ii < jj and adj[ii, jj]:
+                ra, rb = find(int(ids[ii])), find(int(ids[jj]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    cluster = np.full(n, -1, np.int64)
+    for ii in ci:
+        cluster[ii] = find(int(ids[ii]))
+    for ii in np.flatnonzero(~is_core):
+        nbr_cores = [find(int(ids[jj])) for jj in np.flatnonzero(adj[ii])
+                     if is_core[jj]]
+        if nbr_cores:
+            cluster[ii] = min(nbr_cores)
+    return pd.DataFrame({"instance_id": ids, "cluster": cluster,
+                         "is_core": is_core})
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_dbscan_matches_bruteforce(ray_session, parts):
+    """Planted blobs + bridge border point + noise: engine DBSCAN ==
+    brute-force oracle, invariant to partitioning."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.stages.spatial_ops import (
+        dbscan,
+    )
+
+    rng = np.random.default_rng(17)
+    blob1 = rng.normal(10, 1.0, (25, 2))
+    blob2 = rng.normal(40, 1.5, (30, 2))
+    noise = rng.uniform(60, 100, (15, 2))
+    border = np.array([[13.5, 10.0]])  # near blob1's edge
+    pts = np.vstack([blob1, blob2, noise, border])
+    df = pd.DataFrame({
+        "instance_id": np.arange(len(pts), dtype=np.int64) + 100,
+        "feature": np.array(["a", "b"])[np.arange(len(pts)) % 2],
+        "x": pts[:, 0], "y": pts[:, 1],
+    })
+    eps, min_pts = 2.5, 4
+    got = (
+        dbscan(ray.data.from_pandas(df).repartition(parts), eps, min_pts,
+               n_buckets=8)
+        .to_pandas().sort_values("instance_id").reset_index(drop=True)
+    )
+    want = _dbscan_oracle(df, eps, min_pts).sort_values(
+        "instance_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the fixture really exercises all three roles
+    assert (want["cluster"] == -1).sum() >= 10
+    assert want["is_core"].sum() >= 30
+    assert len(set(want.loc[want["cluster"] >= 0, "cluster"])) >= 2
+
+
+def test_dbscan_no_cores_all_noise(ray_session):
+    """min_pts above any degree: everything is noise, nothing raises
+    on the empty core exchange."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.stages.spatial_ops import (
+        dbscan,
+    )
+
+    df = pd.DataFrame({
+        "instance_id": np.arange(6, dtype=np.int64),
+        "feature": ["a"] * 6,
+        "x": np.linspace(0, 500, 6), "y": np.zeros(6),
+    })
+    got = dbscan(ray.data.from_pandas(df), eps=2.0, min_pts=3).to_pandas()
+    assert (got["cluster"] == -1).all()
+    assert (~got["is_core"]).all()
