@@ -945,3 +945,75 @@ GROUP BY q.user_id"""
 
 ANALYTICS_QUERIES["events_user_cm"] = q_events_user_cm
 ANALYTICS_SQL["events_user_cm"] = SQL_EVENTS_USER_CM
+
+
+# --------------------------------------- grouped embedding centroids
+
+
+def q_embed_centroids(sf_dir: str) -> Dataset:
+    """Per-label embedding centroids (class centroids for semantic
+    dedup / prototype classification): per-batch partials sum each
+    label's vectors with one einsum over the zero-copy fixed-width
+    matrix view — dim rows per label per block move, never the vectors
+    — then a tiny keyed merge divides sums by counts. Output is long
+    form (label, pos, centroid) so the oracle compares scalars, not
+    arrays; 6-dp round on both sides absorbs partial-order float
+    drift (sums are ~1e1 over <= 1e3 rows, error ~1e-14)."""
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(t.num_rows, -1)
+        labs = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        onehot = np.zeros((len(uniq), t.num_rows))
+        onehot[inv, np.arange(t.num_rows)] = 1.0
+        sums = onehot @ mat  # (labels, dim)
+        cnts = onehot.sum(1).astype(np.int64)
+        dim = mat.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim).astype(np.int64)),
+            "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnts, dim)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "pos"], sort=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        ).reset_index()
+        return pd.DataFrame({
+            "label": g["label"].astype(np.int64),
+            "pos": g["pos"].astype(np.int64),
+            "centroid": np.round(
+                g["s"].to_numpy(np.float64) / g["n"].to_numpy(np.float64), 6
+            ),
+        })
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EMBED_CENTROIDS = """SELECT label,
+       CAST(pos AS BIGINT) AS pos,
+       ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM (
+  SELECT CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, pos"""
+
+
+ANALYTICS_QUERIES["embed_centroids"] = q_embed_centroids
+ANALYTICS_SQL["embed_centroids"] = SQL_EMBED_CENTROIDS

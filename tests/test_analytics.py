@@ -301,3 +301,26 @@ def test_doc_scrub_counts(ray_session):
         len(pat.sub("", t)) for t in docs["text"]
     ]
     assert got["n_redacted"].sum() > 0  # the pattern actually fires
+
+
+def test_embed_centroids_partition_invariant_and_exact(ray_session):
+    """Centroid partials merge exactly: identical output at any split,
+    and the per-label mean matches a direct numpy mean."""
+    import duckdb
+
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        q_embed_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embed_centroids(sf).to_pandas().sort_values(
+        ["label", "pos"]
+    ).reset_index(drop=True)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    for lab, grp in emb.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        want = np.round(mat.mean(0), 6)
+        mine = got[got["label"] == lab].sort_values("pos")[
+            "centroid"
+        ].to_numpy()
+        assert np.allclose(mine, want, atol=2e-6), lab
