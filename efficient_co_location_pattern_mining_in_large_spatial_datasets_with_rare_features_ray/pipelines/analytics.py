@@ -1017,3 +1017,77 @@ GROUP BY label, pos"""
 
 ANALYTICS_QUERIES["embed_centroids"] = q_embed_centroids
 ANALYTICS_SQL["embed_centroids"] = SQL_EMBED_CENTROIDS
+
+
+# ------------------------------------- global z-score feature scaling
+
+
+def q_orders_price_zscore(sf_dir: str) -> Dataset:
+    """Global z-score normalization (the feature-scaling stage of every
+    tabular ML pipeline): two passes, both streaming — (1) per-batch
+    (n, sum, sumsq) partials in integer cents (EXACT, order-independent
+    — float moment sums would drift across block orders), merged on the
+    driver into one tiny stats tuple; (2) a map-only normalize against
+    the broadcast stats. Population std; 6-dp round on both sides
+    absorbs the one float divide/sqrt difference chain."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "ss": pa.array([int((c * c).sum())], pa.int64()),
+        })
+
+    parts = orders.map_batches(
+        stats_partial, batch_format="pyarrow"
+    ).take_all()  # one tiny row per block
+    n = sum(p["n"] for p in parts)
+    s = sum(p["s"] for p in parts)      # Python ints: no overflow
+    ss = sum(p["ss"] for p in parts)
+    # mirror the oracle's CAST(SUM AS DOUBLE)/COUNT exactly: round the
+    # (possibly > 2^53) integer sums to double FIRST, then divide —
+    # Python's exact-bigint division would differ in the last bits
+    mean_c = float(s) / n
+    var_c = float(ss) / n - mean_c * mean_c  # population variance
+    std_c = float(np.sqrt(var_c))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        z = np.round((c - mean_c) / std_c, 6)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "z": pa.array(z, pa.float64()),
+        })
+
+    return orders.map_batches(normalize, batch_format="pyarrow")
+
+
+# the oracle restates the same integer-cents moments so mean/std are
+# bit-identical, then the same (c - mean)/std chain
+SQL_ORDERS_PRICE_ZSCORE = """WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+), st AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_c,
+         SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(v) AS DOUBLE) / COUNT(*))) AS std_c
+  FROM c
+)
+SELECT o_orderkey, ROUND((v - mean_c) / std_c, 6) AS z
+FROM c, st"""
+
+
+ANALYTICS_QUERIES["orders_price_zscore"] = q_orders_price_zscore
+ANALYTICS_SQL["orders_price_zscore"] = SQL_ORDERS_PRICE_ZSCORE

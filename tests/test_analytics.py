@@ -324,3 +324,23 @@ def test_embed_centroids_partition_invariant_and_exact(ray_session):
             "centroid"
         ].to_numpy()
         assert np.allclose(mine, want, atol=2e-6), lab
+
+
+def test_orders_price_zscore_properties(ray_session):
+    """z-scores have ~0 mean / ~1 std and match a direct computation."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        q_orders_price_zscore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_orders_price_zscore(sf).to_pandas().sort_values(
+        "o_orderkey"
+    ).reset_index(drop=True)
+    o = pd.read_parquet(f"{sf}/orders.parquet").sort_values(
+        "o_orderkey"
+    ).reset_index(drop=True)
+    c = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5)
+    want = np.round((c - c.mean()) / c.std(), 6)  # population std
+    assert np.allclose(got["z"].to_numpy(), want, atol=2e-6)
+    assert abs(got["z"].mean()) < 1e-6
+    assert abs(got["z"].std(ddof=0) - 1.0) < 1e-6
