@@ -1091,3 +1091,72 @@ FROM c, st"""
 
 ANALYTICS_QUERIES["orders_price_zscore"] = q_orders_price_zscore
 ANALYTICS_SQL["orders_price_zscore"] = SQL_ORDERS_PRICE_ZSCORE
+
+
+# ------------------------------------ snapshot diff / churn (CDC shape)
+
+CHURN_DAY_A = "2024-01-05"
+CHURN_DAY_B = "2024-01-20"
+
+
+def q_user_churn(sf_dir: str) -> Dataset:
+    """Snapshot diff (the change-data-capture shape: compare two
+    versions of a keyed set and emit added/dropped/retained): users
+    active on day A vs day B. Per-batch DISTINCT (user, side) partials
+    collapse each block to at most 2 rows per user BEFORE the one keyed
+    exchange; the status derives per user from side presence — no
+    full-outer join of row-level data, no driver materialization."""
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    day_a = np.datetime64(CHURN_DAY_A, "D").astype(np.int64)
+    day_b = np.datetime64(CHURN_DAY_B, "D").astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        keep = (days == day_a) | (days == day_b)
+        out = pd.DataFrame({
+            "user_id": uid[keep],
+            "on_a": (days[keep] == day_a).astype(np.int64),
+            "on_b": (days[keep] == day_b).astype(np.int64),
+        })
+        return out.groupby("user_id", sort=False).max().reset_index()
+
+    def status(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).max().reset_index()
+        a = g["on_a"].to_numpy(bool)
+        b = g["on_b"].to_numpy(bool)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype(np.int64),
+            "status": np.where(a & b, "retained",
+                               np.where(a, "dropped", "added")),
+        })
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(status, batch_format="pandas")
+    )
+
+
+SQL_USER_CHURN = f"""WITH d AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE) = DATE '{CHURN_DAY_A}') AS on_a,
+         MAX(CAST(ts AS DATE) = DATE '{CHURN_DAY_B}') AS on_b
+  FROM events
+  WHERE CAST(ts AS DATE) = DATE '{CHURN_DAY_A}'
+     OR CAST(ts AS DATE) = DATE '{CHURN_DAY_B}'
+  GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN on_a AND on_b THEN 'retained'
+            WHEN on_a THEN 'dropped'
+            ELSE 'added' END AS status
+FROM d"""
+
+
+ANALYTICS_QUERIES["user_churn"] = q_user_churn
+ANALYTICS_SQL["user_churn"] = SQL_USER_CHURN

@@ -344,3 +344,26 @@ def test_orders_price_zscore_properties(ray_session):
     assert np.allclose(got["z"].to_numpy(), want, atol=2e-6)
     assert abs(got["z"].mean()) < 1e-6
     assert abs(got["z"].std(ddof=0) - 1.0) < 1e-6
+
+
+def test_user_churn_statuses(ray_session):
+    """Snapshot diff: status derivation matches direct set algebra on
+    the two day-slices."""
+    from efficient_co_location_pattern_mining_in_large_spatial_datasets_with_rare_features_ray.pipelines.analytics import (
+        CHURN_DAY_A,
+        CHURN_DAY_B,
+        q_user_churn,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = q_user_churn(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    days = ev["ts"].dt.date.astype(str)
+    a = set(ev.loc[days == CHURN_DAY_A, "user_id"])
+    b = set(ev.loc[days == CHURN_DAY_B, "user_id"])
+    m = got.set_index("user_id")["status"]
+    assert set(m.index) == a | b
+    assert set(m[m == "retained"].index) == a & b
+    assert set(m[m == "dropped"].index) == a - b
+    assert set(m[m == "added"].index) == b - a
+    assert len(a - b) > 0 and len(b - a) > 0  # the diff is non-trivial
